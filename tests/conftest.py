@@ -1,0 +1,20 @@
+"""Test harness: force an 8-device virtual CPU mesh (SURVEY.md §4) so SPMD
+paths are exercised without a pod, and keep TPU compile caches out of tests."""
+
+import os
+
+# Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

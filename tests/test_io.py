@@ -1,0 +1,129 @@
+import numpy as np
+import pytest
+
+from bundler_sfm_tpu.io import (
+    BundleCamera, BundleFile, BundlePoint,
+    read_bundle_file, write_bundle_file,
+    read_key_file, write_key_file, keys_to_centered, centered_to_image,
+    read_match_file, write_match_file,
+    ImageEntry, read_list_file, write_list_file,
+)
+
+KERMIT_BUNDLE = "/root/reference/examples/kermit/results.example/bundle.out"
+KERMIT_MATCHES = "/root/reference/examples/kermit/results.example/matches.init.txt"
+
+
+def test_read_kermit_golden_bundle():
+    b = read_bundle_file(KERMIT_BUNDLE)
+    assert len(b.cameras) == 11
+    assert len(b.points) == 634
+    cam0 = b.cameras[0]
+    # Golden values from examples/kermit/results.example/bundle.out:3
+    assert cam0.f == pytest.approx(688.3619, abs=1e-3)
+    assert cam0.k1 == pytest.approx(-4.3298e-2, abs=1e-5)
+    assert cam0.k2 == pytest.approx(6.4596e-2, abs=1e-5)
+    # Cameras 4 and 6 failed to register in the golden run (all-zero blocks).
+    assert b.num_registered == 9
+    # Registered rotations are orthonormal.
+    for cam in b.cameras:
+        if not cam.registered:
+            continue
+        assert np.allclose(cam.R @ cam.R.T, np.eye(3), atol=1e-6)
+        assert np.linalg.det(cam.R) == pytest.approx(1.0, abs=1e-6)
+    # Views reference valid images.
+    for p in b.points:
+        assert len(p.views) >= 2
+        assert p.views[:, 0].max() < 11
+
+
+def test_bundle_roundtrip(tmp_path):
+    b = read_bundle_file(KERMIT_BUNDLE)
+    out = tmp_path / "bundle.out"
+    write_bundle_file(str(out), b)
+    b2 = read_bundle_file(str(out))
+    assert len(b2.cameras) == len(b.cameras)
+    assert len(b2.points) == len(b.points)
+    for c1, c2 in zip(b.cameras, b2.cameras):
+        assert np.allclose(c1.R, c2.R)
+        assert np.allclose(c1.t, c2.t)
+        assert c1.f == pytest.approx(c2.f)
+    for p1, p2 in zip(b.points, b2.points):
+        assert np.allclose(p1.pos, p2.pos)
+        assert np.allclose(p1.views, p2.views)
+
+
+def test_read_kermit_matches():
+    m = read_match_file(KERMIT_MATCHES)
+    # Golden: 32 pairs, 2657 total matches (SURVEY.md §6).
+    assert len(m) == 32
+    assert sum(len(v) for v in m.values()) == 2657
+    assert (0, 1) in m
+    assert len(m[(0, 1)]) == 210
+
+
+def test_match_roundtrip(tmp_path):
+    m = read_match_file(KERMIT_MATCHES)
+    out = tmp_path / "matches.txt"
+    write_match_file(str(out), m)
+    m2 = read_match_file(str(out))
+    assert m.keys() == m2.keys()
+    for k in m:
+        assert np.array_equal(m[k], m2[k])
+
+
+def test_key_file_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    n = 37
+    info = np.zeros((n, 4), dtype=np.float32)
+    info[:, 0] = rng.uniform(0, 640, n).round(2)   # x (col)
+    info[:, 1] = rng.uniform(0, 480, n).round(2)   # y (row)
+    info[:, 2] = rng.uniform(1, 8, n).round(3)
+    info[:, 3] = rng.uniform(-3, 3, n).round(3)
+    desc = rng.integers(0, 256, (n, 128)).astype(np.uint8)
+    for name in ["a.key", "b.key.gz"]:
+        path = tmp_path / name
+        write_key_file(str(path), info, desc)
+        info2, desc2 = read_key_file(str(path))
+        assert np.allclose(info, info2, atol=1e-2)
+        assert np.array_equal(desc, desc2)
+
+
+def test_centered_coords_roundtrip():
+    rng = np.random.default_rng(2)
+    info = np.zeros((10, 4), dtype=np.float32)
+    info[:, 0] = rng.uniform(0, 640, 10)
+    info[:, 1] = rng.uniform(0, 480, 10)
+    cent = keys_to_centered(info, 640, 480)
+    # Reference transform: x - 0.5(W-1), (H-y-1) - 0.5(H-1)
+    assert np.allclose(cent[:, 0], info[:, 0] - 319.5, atol=1e-4)
+    assert np.allclose(cent[:, 1], (480 - info[:, 1] - 1) - 239.5, atol=1e-4)
+    back = centered_to_image(cent[:, :2], 640, 480)
+    assert np.allclose(back, info[:, :2], atol=1e-4)
+
+
+def test_list_file_roundtrip(tmp_path):
+    entries = [
+        ImageEntry("img0.jpg"),
+        ImageEntry("img1.jpg", fisheye=True),
+        ImageEntry("img2.jpg", init_focal=700.5),
+    ]
+    path = tmp_path / "list.txt"
+    write_list_file(str(path), entries)
+    back = read_list_file(str(path))
+    assert [e.name for e in back] == [e.name for e in entries]
+    assert back[1].fisheye and not back[0].fisheye
+    assert back[2].init_focal == pytest.approx(700.5)
+    assert back[2].has_init_focal and not back[0].has_init_focal
+
+
+def test_ply_writer(tmp_path):
+    from bundler_sfm_tpu.io import write_points_ply
+    pts = np.array([[0, 0, 1.0], [1, 2, 3.0], [4, 5, 6.0]])
+    cols = np.array([[10, 20, 30], [0, 0, 255], [1, 2, 3]])  # middle = outlier
+    R = np.eye(3)[None].repeat(2, axis=0)
+    centers = np.zeros((2, 3))
+    path = tmp_path / "points.ply"
+    write_points_ply(str(path), pts, cols, R, centers)
+    text = path.read_text()
+    assert "element vertex 6" in text  # 2 good points + 2*2 camera vertices
+    assert "end_header" in text
