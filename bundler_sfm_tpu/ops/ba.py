@@ -1,0 +1,381 @@
+"""Bundle adjustment — Schur-complement Levenberg-Marquardt, TPU-native.
+
+The replacement for the reference's SBA stack (`lib/sba-1.5/sba_levmar.c:457`
+`sba_motstr_levmar_x` as driven by `run_sfm`, `lib/sfm-driver/sfm.c:592-1004`),
+re-designed for XLA:
+
+- residuals: the Snavely model (`include/snavely_reprojection_error.h:53-96`)
+  over an observation-major layout (obs_cam, obs_pt, obs_xy), with autodiff
+  per-observation Jacobian blocks A [O,2,9] / B [O,2,3] (strictly better
+  than SBA's finite differences, `sba_levmar.c:336`).
+- normal equations: U_j = Σ AᵀA, V_i = Σ BᵀB, W_o = AᵀB via segment_sum —
+  the same U/V/W blocks SBA builds (`sba_levmar.c:1191-1324`).
+- Schur: Y_o = W_o V⁻¹ (vmapped 3x3 inverses); the reduced camera system
+  S = U − Σ_i Σ_{a,b∈views(i)} Y_a W_bᵀ is scatter-assembled from a padded
+  per-point view table, then Cholesky-solved as one dense [9C, 9C] system
+  (`sba_Axb_Chol`, `sba_levmar.c:1368`); points back-substituted
+  (`sba_levmar.c:3073-3076`).
+- LM loop: lax.while_loop with additive damping on the augmented normal
+  equations, mu0 = tau·max(diag) with tau = opts[0] = 1e-3 (`sfm.c:705`)
+  and Nielsen's mu update (SBA v1.2+ strategy).
+
+Parameterization per run (`sfm.c:651-703`): camera = [c(3), w(3), f, k1, k2]
+with R = exp([w]x)·R0 and w starting at 0; `finalize` folds w back into R
+exactly like run_sfm's epilogue (`sfm.c:876-929`).
+
+Masking: `cam_mask` zeroes Jacobian columns of frozen parameters (fixed
+focal, no distortion, held cameras — SBA's ncons); their Schur diagonal is
+identity-padded so the solve stays PD.  fix_points=True gives motion-only
+(sba_mot_levmar); cam_mask all-zero gives structure-only.
+
+Sharding: every per-observation quantity shards over observations; S, g_c
+are psum-reduced across shards — see parallel/ba_sharded.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundler_sfm_tpu.ops.projection import project_one
+from bundler_sfm_tpu.ops.rotations import rot_update
+
+CNP = 9  # camera params: c(3) w(3) f k1 k2
+PNP = 3
+
+
+class BAProblem(NamedTuple):
+    """Padded, static-shape bundle-adjustment problem."""
+    R0: jnp.ndarray               # [C,3,3] base rotations
+    cam0: jnp.ndarray             # [C,9] initial params (c, w=0, f, k1, k2)
+    cam_mask: jnp.ndarray         # [C,9] 1.0 = free, 0.0 = frozen
+    cam_constrained: jnp.ndarray  # [C,9] 1.0 where constraint active
+    cam_constraints: jnp.ndarray  # [C,9] target values
+    cam_weights: jnp.ndarray      # [C,9] constraint weights
+    pts0: jnp.ndarray             # [P,3]
+    pt_constrained: jnp.ndarray   # [P] 1.0 where constrained
+    pt_constraints: jnp.ndarray   # [P,3]
+    pt_weight: jnp.ndarray        # scalar point-constraint weight
+    obs_cam: jnp.ndarray          # [O] int32 (padding rows -> camera 0)
+    obs_pt: jnp.ndarray           # [O] int32 (padding rows -> point 0)
+    obs_xy: jnp.ndarray           # [O,2]
+    obs_valid: jnp.ndarray        # [O] bool
+    views_obs: jnp.ndarray        # [P,M] int32 obs index per point view (pad 0)
+    views_mask: jnp.ndarray       # [P,M] bool
+
+
+class BAResult(NamedTuple):
+    cam: jnp.ndarray              # [C,9] final params (w folded to 0)
+    R: jnp.ndarray                # [C,3,3] final rotations
+    pts: jnp.ndarray              # [P,3]
+    cost: jnp.ndarray             # final 0.5·Σr²
+    initial_cost: jnp.ndarray
+    iters: jnp.ndarray
+    mu: jnp.ndarray
+
+
+# --------------------------------------------------------------------------
+# Problem construction (host side)
+# --------------------------------------------------------------------------
+
+def build_problem(
+    R0: np.ndarray, cam0: np.ndarray,
+    pts0: np.ndarray,
+    obs_cam: np.ndarray, obs_pt: np.ndarray, obs_xy: np.ndarray,
+    *,
+    est_focal: bool = True,
+    est_distortion: bool = True,
+    fixed_cameras: Optional[np.ndarray] = None,   # [C] bool, SBA's ncons
+    cam_constrained: Optional[np.ndarray] = None,
+    cam_constraints: Optional[np.ndarray] = None,
+    cam_weights: Optional[np.ndarray] = None,
+    pt_constrained: Optional[np.ndarray] = None,
+    pt_constraints: Optional[np.ndarray] = None,
+    pt_weight: float = 0.0,
+    pad_cams: Optional[int] = None,
+    pad_pts: Optional[int] = None,
+    pad_obs: Optional[int] = None,
+    max_views: Optional[int] = None,
+    dtype=np.float64,
+) -> BAProblem:
+    """Pad + mask a host-side problem into a static-shape BAProblem."""
+    C, P, O = len(cam0), len(pts0), len(obs_cam)
+    Cp = pad_cams or C
+    Pp = pad_pts or P
+    Op = pad_obs or O
+    assert Cp >= C and Pp >= P and Op >= O
+
+    def padc(x, n, shape_tail=()):
+        out = np.zeros((n,) + shape_tail, dtype=dtype)
+        out[:len(x)] = x
+        return out
+
+    R0p = padc(R0, Cp, (3, 3))
+    R0p[C:] = np.eye(3)
+    cam0p = padc(cam0, Cp, (CNP,))
+    cam0p[C:, 6] = 1.0  # harmless focal for padding cameras
+
+    mask = np.ones((Cp, CNP), dtype=dtype)
+    if not est_focal:
+        mask[:, 6] = 0.0
+    if not est_distortion:
+        mask[:, 7:9] = 0.0
+    if fixed_cameras is not None:
+        mask[:C][np.asarray(fixed_cameras, bool)] = 0.0
+    mask[C:] = 0.0
+
+    cc = padc(cam_constrained if cam_constrained is not None
+              else np.zeros((C, CNP)), Cp, (CNP,))
+    ct = padc(cam_constraints if cam_constraints is not None
+              else np.zeros((C, CNP)), Cp, (CNP,))
+    cw = padc(cam_weights if cam_weights is not None
+              else np.zeros((C, CNP)), Cp, (CNP,))
+
+    pts0p = padc(pts0, Pp, (3,))
+    pc = padc(pt_constrained if pt_constrained is not None
+              else np.zeros(P), Pp)
+    pt = padc(pt_constraints if pt_constraints is not None
+              else np.zeros((P, 3)), Pp, (3,))
+
+    ocam = np.zeros(Op, dtype=np.int32)
+    ocam[:O] = obs_cam
+    opt = np.zeros(Op, dtype=np.int32)
+    opt[:O] = obs_pt
+    oxy = padc(obs_xy, Op, (2,))
+    ovalid = np.zeros(Op, dtype=bool)
+    ovalid[:O] = True
+
+    # Per-point view table.
+    counts = np.bincount(opt[:O], minlength=Pp)
+    M = max_views or max(1, int(counts.max()) if O else 1)
+    if counts.max() > M:
+        raise ValueError(f"point has {counts.max()} views > max_views={M}")
+    views_obs = np.zeros((Pp, M), dtype=np.int32)
+    views_mask = np.zeros((Pp, M), dtype=bool)
+    slot = np.zeros(Pp, dtype=np.int64)
+    for o in range(O):
+        p = opt[o]
+        views_obs[p, slot[p]] = o
+        views_mask[p, slot[p]] = True
+        slot[p] += 1
+
+    return BAProblem(
+        R0=jnp.asarray(R0p), cam0=jnp.asarray(cam0p),
+        cam_mask=jnp.asarray(mask),
+        cam_constrained=jnp.asarray(cc), cam_constraints=jnp.asarray(ct),
+        cam_weights=jnp.asarray(cw),
+        pts0=jnp.asarray(pts0p),
+        pt_constrained=jnp.asarray(pc), pt_constraints=jnp.asarray(pt),
+        pt_weight=jnp.asarray(dtype(pt_weight)),
+        obs_cam=jnp.asarray(ocam), obs_pt=jnp.asarray(opt),
+        obs_xy=jnp.asarray(oxy), obs_valid=jnp.asarray(ovalid),
+        views_obs=jnp.asarray(views_obs), views_mask=jnp.asarray(views_mask),
+    )
+
+
+# --------------------------------------------------------------------------
+# Normal equations
+# --------------------------------------------------------------------------
+
+def _residuals(cam, pts, prob: BAProblem):
+    def one(ci, pi, xy, valid):
+        pred = project_one(cam[ci], prob.R0[ci], pts[pi])
+        return jnp.where(valid, pred - xy, 0.0)
+    return jax.vmap(one)(prob.obs_cam, prob.obs_pt, prob.obs_xy, prob.obs_valid)
+
+
+def compute_cost(cam, pts, prob: BAProblem):
+    r = _residuals(cam, pts, prob)
+    cost = 0.5 * jnp.sum(r * r)
+    cw = prob.cam_weights * prob.cam_constrained * prob.cam_mask
+    cost += 0.5 * jnp.sum(cw * (cam - prob.cam_constraints) ** 2)
+    pw = prob.pt_weight * prob.pt_constrained
+    cost += 0.5 * jnp.sum(pw[:, None] * (pts - prob.pt_constraints) ** 2)
+    return cost
+
+
+def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool):
+    """U [C,9,9], V [P,3,3], W [O,9,3], g_c [C,9], g_p [P,3], cost."""
+    C = cam.shape[0]
+    P = pts.shape[0]
+
+    def one(ci, pi, xy, valid):
+        def f(c, p):
+            return project_one(c, prob.R0[ci], p)
+        r = f(cam[ci], pts[pi]) - xy
+        A, B = jax.jacfwd(f, argnums=(0, 1))(cam[ci], pts[pi])
+        m = jnp.where(valid, 1.0, 0.0)
+        return r * m, A * m, B * m
+
+    r, A, B = jax.vmap(one)(prob.obs_cam, prob.obs_pt, prob.obs_xy,
+                            prob.obs_valid)
+    A = A * prob.cam_mask[prob.obs_cam][:, None, :]
+    if fix_points:
+        B = B * 0.0
+    U = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", A, A),
+                            prob.obs_cam, num_segments=C)
+    V = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", B, B),
+                            prob.obs_pt, num_segments=P)
+    W = jnp.einsum("oki,okj->oij", A, B)
+    g_c = -jax.ops.segment_sum(jnp.einsum("oki,ok->oi", A, r),
+                               prob.obs_cam, num_segments=C)
+    g_p = -jax.ops.segment_sum(jnp.einsum("oki,ok->oi", B, r),
+                               prob.obs_pt, num_segments=P)
+    cost = 0.5 * jnp.sum(r * r)
+
+    # Camera constraints (sba.h:82-90).
+    cw = prob.cam_weights * prob.cam_constrained * prob.cam_mask
+    U = U + jax.vmap(jnp.diag)(cw)
+    g_c = g_c + cw * (prob.cam_constraints - cam)
+    cost += 0.5 * jnp.sum(cw * (cam - prob.cam_constraints) ** 2)
+
+    # Point constraints (run_sfm, sfm.c:757-781).
+    pw = prob.pt_weight * prob.pt_constrained
+    V = V + pw[:, None, None] * jnp.eye(3, dtype=V.dtype)[None]
+    g_p = g_p + pw[:, None] * (prob.pt_constraints - pts)
+    cost += 0.5 * jnp.sum(pw[:, None] * (pts - prob.pt_constraints) ** 2)
+    return U, V, W, g_c, g_p, cost
+
+
+def assemble_schur(U_aug, Y, W, g_c, g_p, prob: BAProblem):
+    """Dense reduced camera system S [C,C,9,9] and rhs [C,9].
+
+    S_jk = U_j δ_jk − Σ_i Σ_{a,b ∈ views(i)} Y_a W_bᵀ  with cam(a)=j, cam(b)=k.
+    Assembled by scanning over the M×M view-slot pairs so peak memory stays
+    O(P·81), never O(P·M²·81).
+    """
+    C = U_aug.shape[0]
+    M = prob.views_obs.shape[1]
+    dtype = U_aug.dtype
+
+    cam_of_slot = prob.obs_cam[prob.views_obs]          # [P,M]
+    Yp = Y[prob.views_obs]                              # [P,M,9,3]
+    Wp = W[prob.views_obs]                              # [P,M,9,3]
+    maskp = prob.views_mask                             # [P,M]
+
+    S_off = jnp.zeros((C * C, CNP, CNP), dtype=dtype)
+
+    def slot_pair(carry, mn):
+        S_off = carry
+        m = mn // M
+        n = mn % M
+        ya = Yp[:, m]                                   # [P,9,3]
+        wb = Wp[:, n]                                   # [P,9,3]
+        blocks = jnp.einsum("pij,pkj->pik", ya, wb)     # [P,9,9]
+        pair_ok = maskp[:, m] & maskp[:, n]
+        blocks = blocks * pair_ok[:, None, None]
+        idx = cam_of_slot[:, m] * C + cam_of_slot[:, n]
+        idx = jnp.where(pair_ok, idx, 0)                # masked blocks are 0
+        S_off = S_off.at[idx].add(-blocks)
+        return S_off, None
+
+    S_off, _ = jax.lax.scan(slot_pair, S_off,
+                            jnp.arange(M * M, dtype=jnp.int32))
+    S = S_off.reshape(C, C, CNP, CNP)
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(U_aug)
+
+    # rhs = g_c − Σ_obs Y_o g_p[pt(o)]  (per camera).
+    contrib = jnp.einsum("oij,oj->oi", Y, g_p[prob.obs_pt])
+    rhs = g_c - jax.ops.segment_sum(contrib, prob.obs_cam, num_segments=C)
+    return S, rhs
+
+
+def solve_schur(S, rhs):
+    C = S.shape[0]
+    Sd = S.transpose(0, 2, 1, 3).reshape(C * CNP, C * CNP)
+    # Dense Cholesky (sba_Axb_Chol, sba_levmar.c:1368).
+    L = jnp.linalg.cholesky(Sd)
+    dc = jax.scipy.linalg.cho_solve((L, True), rhs.reshape(-1))
+    return dc.reshape(C, CNP)
+
+
+def back_substitute(Vinv, W, g_p, dcam, prob: BAProblem):
+    """dp_i = V_i⁻¹ (g_p_i − Σ_{o∈views(i)} W_oᵀ dcam[cam(o)])."""
+    P = Vinv.shape[0]
+    wc = jnp.einsum("oji,oj->oi", W, dcam[prob.obs_cam])  # [O,3]
+    acc = jax.ops.segment_sum(wc, prob.obs_pt, num_segments=P)
+    return jnp.einsum("pij,pj->pi", Vinv, g_p - acc)
+
+
+# --------------------------------------------------------------------------
+# LM driver
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "fix_points"))
+def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
+           tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12
+           ) -> BAResult:
+    """Levenberg-Marquardt with Schur complement; mirrors run_sfm's SBA call
+    (MAX_ITERS=150 `sfm.c:814`, opts `sfm.c:705-714`)."""
+    C = prob.cam0.shape[0]
+    P = prob.pts0.shape[0]
+    dtype = prob.cam0.dtype
+    eyec = jnp.eye(CNP, dtype=dtype)
+    eyep = jnp.eye(PNP, dtype=dtype)
+
+    def damped_step(cam, pts, mu):
+        U, V, W, g_c, g_p, cost = build_normal_blocks(cam, pts, prob,
+                                                      fix_points)
+        frozen = 1.0 - prob.cam_mask
+        U_aug = U + jax.vmap(jnp.diag)(frozen) + mu * eyec[None]
+        V_aug = V + (mu + 1e-12) * eyep[None]
+        Vinv = jnp.linalg.inv(V_aug)
+        Y = jnp.einsum("oij,ojk->oik", W, Vinv[prob.obs_pt])
+        S, rhs = assemble_schur(U_aug, Y, W, g_c, g_p, prob)
+        dcam = solve_schur(S, rhs)
+        dcam = dcam * prob.cam_mask
+        if fix_points:
+            dpts = jnp.zeros_like(pts)
+        else:
+            dpts = back_substitute(Vinv, W, g_p, dcam, prob)
+        return dcam, dpts, g_c, g_p, cost
+
+    # Initial damping: tau * max diagonal of JᵀJ (SBA's init).
+    U0, V0, _, g_c0, g_p0, cost0 = build_normal_blocks(
+        prob.cam0, prob.pts0, prob, fix_points)
+    maxdiag = jnp.maximum(
+        jnp.max(jax.vmap(jnp.diag)(U0)), jnp.max(jax.vmap(jnp.diag)(V0)))
+    mu0 = tau * jnp.maximum(maxdiag, 1.0)
+
+    def cond(state):
+        cam, pts, mu, nu, cost, it, done = state
+        return (it < max_iters) & ~done
+
+    def body(state):
+        cam, pts, mu, nu, cost, it, done = state
+        dcam, dpts, g_c, g_p, _ = damped_step(cam, pts, mu)
+        cam_new = cam + dcam
+        pts_new = pts + dpts
+        new_cost = compute_cost(cam_new, pts_new, prob)
+        # Gain ratio: predicted reduction = 0.5 δᵀ(mu δ + g).
+        pred = 0.5 * (jnp.sum(dcam * (mu * dcam + g_c))
+                      + jnp.sum(dpts * (mu * dpts + g_p)))
+        rho = (cost - new_cost) / jnp.maximum(pred, 1e-300)
+        accept = new_cost < cost
+        cam = jnp.where(accept, cam_new, cam)
+        pts = jnp.where(accept, pts_new, pts)
+        cost_next = jnp.where(accept, new_cost, cost)
+        mu_acc = mu * jnp.maximum(1.0 / 3.0,
+                                  1.0 - (2.0 * rho - 1.0) ** 3)
+        mu = jnp.where(accept, mu_acc, mu * nu)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        # Termination: small gradient or tiny step (opts eps1/eps2).
+        gnorm = jnp.maximum(jnp.max(jnp.abs(g_c)), jnp.max(jnp.abs(g_p)))
+        pnorm = jnp.sqrt(jnp.sum(cam * cam) + jnp.sum(pts * pts))
+        dnorm = jnp.sqrt(jnp.sum(dcam * dcam) + jnp.sum(dpts * dpts))
+        done = (gnorm < eps1) | (dnorm < eps2 * (pnorm + eps2)) | (mu > 1e30)
+        return cam, pts, mu, nu, cost_next, it + 1, done
+
+    state = (prob.cam0, prob.pts0, mu0, jnp.asarray(2.0, dtype), cost0,
+             jnp.int32(0), jnp.asarray(False))
+    cam, pts, mu, nu, cost, iters, _ = jax.lax.while_loop(cond, body, state)
+
+    # Fold w into R (run_sfm epilogue, sfm.c:876-929).
+    R = jax.vmap(rot_update)(prob.R0, cam[:, 3:6])
+    cam_out = cam.at[:, 3:6].set(0.0)
+    return BAResult(cam=cam_out, R=R, pts=pts, cost=cost,
+                    initial_cost=cost0, iters=iters, mu=mu)

@@ -1,0 +1,114 @@
+"""Small dense LM solvers: single-camera refinement.
+
+Replaces `camera_refine` (`lib/sfm-driver/sfm.c:1006-1190`, minpack lmdif):
+refine one camera's pose (+ optionally focal/distortion) against fixed 3D
+points.  The reference adds penalty terms when focal is being adjusted —
+a focal constraint (weight `global_constrain_focal_weight`) and a distortion
+shrink (`sfm.c:1146` camera_refine_residual_params) — mirrored here.
+
+Vmappable across candidate cameras (batch registration registers a whole
+round of cameras at once — `FindCamerasWithNMatches` + the loop at
+`src/BundleFast.cpp:300-336`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bundler_sfm_tpu.ops.projection import project_one
+from bundler_sfm_tpu.ops.rotations import rot_update
+
+CNP = 9
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("adjust_focal", "estimate_distortion", "max_iters"))
+def camera_refine(
+    cam0: jnp.ndarray,        # [9] (c, w=0, f, k1, k2)
+    R0: jnp.ndarray,          # [3,3]
+    points: jnp.ndarray,      # [N,3] fixed
+    projs: jnp.ndarray,       # [N,2]
+    mask: jnp.ndarray,        # [N] bool
+    adjust_focal: bool = True,
+    estimate_distortion: bool = False,
+    focal_constraint: float = 0.0,     # target focal (0 = none)
+    focal_weight: float = 0.0,
+    distortion_weight: float = 1.0e2,  # m_distortion_weight default
+    max_iters: int = 50,
+    tau: float = 1e-3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (cam [9] with w folded, R [3,3], final cost)."""
+    dtype = cam0.dtype
+    pmask = jnp.ones((CNP,), dtype=dtype)
+    if not adjust_focal:
+        pmask = pmask.at[6].set(0.0)
+    if not estimate_distortion:
+        pmask = pmask.at[7:9].set(0.0)
+
+    fw = jnp.asarray(focal_weight, dtype)
+    fc = jnp.asarray(focal_constraint, dtype)
+    dw = jnp.asarray(distortion_weight, dtype) if estimate_distortion else \
+        jnp.asarray(0.0, dtype)
+
+    def residuals(cam):
+        def one(X, xy, m):
+            return jnp.where(m, project_one(cam, R0, X) - xy, 0.0)
+        r = jax.vmap(one)(points, projs, mask)
+        # Penalty terms (camera_refine, sfm.c:1088-1160): focal prior and
+        # distortion shrink, active only when focal is adjustable.
+        pen = jnp.stack([
+            jnp.sqrt(fw) * (cam[6] - fc),
+            jnp.sqrt(dw) * cam[7],
+            jnp.sqrt(dw) * cam[8],
+        ])
+        return jnp.concatenate([r.reshape(-1), pen])
+
+    def cost_of(cam):
+        r = residuals(cam)
+        return 0.5 * jnp.sum(r * r)
+
+    def body(state):
+        cam, mu, nu, cost, it, done = state
+        J = jax.jacfwd(residuals)(cam) * pmask[None, :]   # [2N+3, 9]
+        r = residuals(cam)
+        g = J.T @ r
+        H = J.T @ J
+        H = H + jnp.diag(1.0 - pmask)                     # PD for frozen
+        Haug = H + mu * jnp.eye(CNP, dtype=dtype)
+        delta = -jnp.linalg.solve(Haug, g) * pmask
+        cam_new = cam + delta
+        new_cost = cost_of(cam_new)
+        pred = 0.5 * jnp.dot(delta, mu * delta - g)
+        rho = (cost - new_cost) / jnp.maximum(pred, 1e-300)
+        accept = new_cost < cost
+        cam = jnp.where(accept, cam_new, cam)
+        cost_next = jnp.where(accept, new_cost, cost)
+        mu = jnp.where(accept,
+                       mu * jnp.maximum(1.0 / 3.0, 1.0 - (2 * rho - 1) ** 3),
+                       mu * nu)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        gnorm = jnp.max(jnp.abs(g))
+        done = (gnorm < 1e-12) | (jnp.linalg.norm(delta) < 1e-14) | (mu > 1e30)
+        return cam, mu, nu, cost_next, it + 1, done
+
+    def cond(state):
+        _, _, _, _, it, done = state
+        return (it < max_iters) & ~done
+
+    J0 = jax.jacfwd(residuals)(cam0) * pmask[None, :]
+    mu0 = tau * jnp.maximum(jnp.max(jnp.diag(J0.T @ J0)), 1.0)
+    state = (cam0, mu0, jnp.asarray(2.0, dtype), cost_of(cam0),
+             jnp.int32(0), jnp.asarray(False))
+    cam, mu, nu, cost, it, done = jax.lax.while_loop(cond, body, state)
+    R = rot_update(R0, cam[3:6])
+    return cam.at[3:6].set(0.0), R, cost
+
+
+camera_refine_batch = jax.vmap(
+    camera_refine,
+    in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, None))

@@ -1,0 +1,135 @@
+"""Camera resection — batched 6-point DLT RANSAC + RQ verification.
+
+Reference: `find_projection_3x4_ransac` (`lib/imagelib/triangulate.c`,
+4096 rounds @ 4.0 px — `src/Bundle.cpp:2901-2904`) and `FindAndVerifyCamera`
+(`src/Bundle.cpp:2887-2990`): DLT for P, RQ split into K·R, sign fixing,
+cheirality-gated inlier counting with a strong and a weak threshold.
+
+Projection convention: image = (-q0/q2, -q1/q2) for q = P·[X;1]
+(`find_projection_3x4_ransac` scoring), matching the -z camera axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bundler_sfm_tpu.ops.ransac import run_ransac
+from bundler_sfm_tpu.ops.rotations import rq3, fix_intrinsics_sign
+
+
+def fit_projection_dlt(X: jnp.ndarray, x: jnp.ndarray,
+                       mask: jnp.ndarray) -> jnp.ndarray:
+    """(Weighted) DLT for the 3x4 projection matrix.
+
+    X: [N,3] world points, x: [N,2] image points; rows weighted by mask.
+    Homogeneous system: row1·Xh + u·row3·Xh = 0, row2·Xh + v·row3·Xh = 0
+    (image = -q.xy/q.z).  Solved by smallest eigenvector of AᵀA (12x12).
+    """
+    w = mask.astype(X.dtype)
+    Xh = jnp.concatenate([X, jnp.ones_like(X[:, :1])], axis=1)  # [N,4]
+    u = x[:, 0:1]
+    v = x[:, 1:2]
+    zero = jnp.zeros_like(Xh)
+    rows1 = jnp.concatenate([Xh, zero, u * Xh], axis=1)   # [N,12]
+    rows2 = jnp.concatenate([zero, Xh, v * Xh], axis=1)
+    A = jnp.concatenate([rows1, rows2], axis=0)           # [2N,12]
+    ww = jnp.concatenate([w, w], axis=0)
+    Aw = A * ww[:, None]
+    AtA = Aw.T @ A
+    # Smallest eigenvector via eigh (symmetric, TPU-friendly).
+    _, vecs = jnp.linalg.eigh(AtA)
+    p = vecs[:, 0]
+    return p.reshape(3, 4)
+
+
+def projection_residual_cheirality(P: jnp.ndarray, X: jnp.ndarray,
+                                   x: jnp.ndarray):
+    """Reprojection distance per point, +inf where cheirality fails.
+
+    The reference fixes the DLT's global sign ambiguity via the RQ-diagonal
+    parity of P[:, :3] (`find_projection_3x4_ransac`, "Fix the sign on the P
+    matrix").  For a physical camera (K diag > 0, det R = +1) that parity
+    equals sign(det P[:, :3]) — we use the determinant directly, which is
+    independent of any RQ sign convention.
+    """
+    sign = jnp.sign(jnp.linalg.det(P[:, 0:3]))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    Xh = jnp.concatenate([X, jnp.ones_like(X[:, :1])], axis=1)
+    q = Xh @ P.T
+    behind = sign * q[:, 2] > 0.0
+    pred = -q[:, 0:2] / q[:, 2:3]
+    dist = jnp.sqrt(jnp.sum((pred - x) ** 2, axis=1))
+    return jnp.where(behind, jnp.inf, dist)
+
+
+@functools.partial(jax.jit, static_argnames=("num_rounds",))
+def find_projection_ransac(key, X, x, n_valid, threshold,
+                           num_rounds: int = 4096):
+    """RANSAC P from padded 2D-3D correspondences; threshold in px
+    (reference compares squared dist to thresh², same test).
+    Returns (P, inlier_mask, num_inliers)."""
+    def fit(sX, sx):
+        return fit_projection_dlt(sX, sx, jnp.ones(sX.shape[0], dtype=bool))
+
+    def resid(P, aX, ax):
+        return projection_residual_cheirality(P, aX, ax)
+
+    P, inl, cnt = run_ransac(key, fit, resid, X, x, n_valid,
+                             num_rounds, 6, threshold)
+    # Polish on inliers (reference refits + lmdif-polishes inside
+    # find_projection_3x4_ransac's final stage).
+    P2 = fit_projection_dlt(X, x, inl)
+    r2 = projection_residual_cheirality(P2, X, x)
+    valid = jnp.arange(X.shape[0]) < n_valid
+    inl2 = valid & (r2 < threshold)
+    better = jnp.sum(inl2) >= cnt
+    P_out = jnp.where(better, P2, P)
+    inl_out = jnp.where(better, inl2, inl)
+    return P_out, inl_out, jnp.maximum(jnp.sum(inl2), cnt)
+
+
+class VerifiedCamera(NamedTuple):
+    ok: jnp.ndarray        # bool
+    K: jnp.ndarray         # [3,3] intrinsics (K22 = 1)
+    R: jnp.ndarray         # [3,3]
+    t: jnp.ndarray         # [3] world->cam translation (center = -Rᵀt)
+    inliers: jnp.ndarray       # strong inliers (< threshold)
+    inliers_weak: jnp.ndarray  # weak inliers (< weak threshold)
+
+
+@functools.partial(jax.jit, static_argnames=("num_rounds",))
+def find_and_verify_camera(key, X, x, n_valid, threshold, weak_threshold,
+                           num_rounds: int = 4096,
+                           min_inliers: int = 6) -> VerifiedCamera:
+    """TPU analogue of `FindAndVerifyCamera` (`src/Bundle.cpp:2887-2990`).
+
+    threshold = m_projection_estimation_threshold (4.0),
+    weak_threshold = 16x that (`src/Bundle.cpp:3095-3096`),
+    min_inliers = MIN_INLIERS_EST_PROJECTION (6, `src/Bundle.cpp:1572`).
+    """
+    P, _, cnt = find_projection_ransac(key, X, x, n_valid, threshold,
+                                       num_rounds=num_rounds)
+    K, Q = rq3(P[:, 0:3])
+    K, R = fix_intrinsics_sign(K, Q)
+    t = jnp.linalg.solve(K, P[:, 3])
+    # Reference normalizes K by K[2,2] after FixIntrinsics
+    # (src/Bundle.cpp:2928); t must come from the unnormalized K·[R|t]=P.
+    K = K / K[2, 2]
+
+    # q = [R|t]·[X;1]; q2 = K·q; pimg = -q2.xy/q2.z  (src/Bundle.cpp:2940-2955)
+    q = X @ R.T + t[None, :]
+    q2 = q @ K.T
+    pred = -q2[:, 0:2] / q2[:, 2:3]
+    diff = jnp.sqrt(jnp.sum((pred - x) ** 2, axis=1))
+    valid = jnp.arange(X.shape[0]) < n_valid
+    inliers = valid & (diff < threshold)
+    inliers_weak = valid & (diff < weak_threshold)
+    num_behind = jnp.sum(valid & (q[:, 2] > 0.0))
+    # "camera is pointing away from scene" (src/Bundle.cpp:2979-2983)
+    ok = (cnt > min_inliers) & (num_behind < 0.9 * n_valid)
+    return VerifiedCamera(ok=ok, K=K, R=R, t=t,
+                          inliers=inliers, inliers_weak=inliers_weak)

@@ -3,13 +3,21 @@ paths are exercised without a pod, and keep TPU compile caches out of tests."""
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import.  Force-override: the session environment
+# pins JAX_PLATFORMS=axon (the remote TPU tunnel), which would make every
+# test a remote compile — and f64 linalg is CPU-only anyway.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize registers its TPU-tunnel backend and force-sets
+# jax_platforms="axon,cpu" AFTER env vars are read — override it back.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

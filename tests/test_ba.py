@@ -1,0 +1,170 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests.synthetic import Scene
+
+from bundler_sfm_tpu.ops.ba import (
+    BAProblem, build_problem, run_ba, compute_cost, CNP,
+)
+from bundler_sfm_tpu.ops.lm import camera_refine
+from bundler_sfm_tpu.ops.projection import pack_camera
+from bundler_sfm_tpu.ops.rotations import rodrigues
+
+
+def make_problem(rng, sc: Scene, cam_noise=0.0, pt_noise=0.0,
+                 est_focal=True, est_distortion=True, f_guess=None, **kw):
+    C = len(sc.centers)
+    P = len(sc.points)
+    cam0 = np.zeros((C, CNP))
+    R0 = np.zeros((C, 3, 3))
+    for i in range(C):
+        w = rng.normal(size=3) * cam_noise
+        R0[i] = np.asarray(rodrigues(jnp.asarray(w))) @ sc.R[i]
+        cam0[i, 0:3] = sc.centers[i] + rng.normal(size=3) * cam_noise
+        cam0[i, 6] = f_guess if f_guess is not None else sc.f[i]
+        cam0[i, 7:9] = 0.0
+    pts0 = sc.points + rng.normal(size=sc.points.shape) * pt_noise
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for c in range(C):
+        for p in range(P):
+            obs_cam.append(c)
+            obs_pt.append(p)
+            obs_xy.append(sc.obs[c][p])
+    prob = build_problem(
+        R0, cam0, pts0,
+        np.array(obs_cam, np.int32), np.array(obs_pt, np.int32),
+        np.array(obs_xy),
+        est_focal=est_focal, est_distortion=est_distortion, **kw)
+    return prob
+
+
+def test_ba_zero_residual_at_truth(rng):
+    sc = Scene(rng, num_cams=3, num_pts=60, k1=-0.05, k2=0.02)
+    prob = make_problem(rng, sc)
+    # Patch true distortion into cam0.
+    cam0 = np.array(prob.cam0)
+    cam0[:3, 7:9] = sc.k[:3]
+    prob = prob._replace(cam0=jnp.asarray(cam0))
+    cost = float(compute_cost(prob.cam0, prob.pts0, prob))
+    assert cost < 1e-12
+
+
+def test_ba_recovers_from_noise(rng):
+    sc = Scene(rng, num_cams=4, num_pts=120)
+    prob = make_problem(rng, sc, cam_noise=0.03, pt_noise=0.05,
+                        est_distortion=False)
+    res = run_ba(prob, max_iters=100)
+    assert float(res.cost) < 1e-8 * float(res.initial_cost)
+    # Perfect synthetic data -> essentially zero reprojection error.
+    assert float(res.cost) < 1e-6
+
+
+def test_ba_fixed_focal(rng):
+    sc = Scene(rng, num_cams=3, num_pts=80)
+    prob = make_problem(rng, sc, cam_noise=0.02, pt_noise=0.02,
+                        est_focal=False, est_distortion=False)
+    res = run_ba(prob, max_iters=80)
+    # Focal must not move.
+    assert np.allclose(np.asarray(res.cam)[:3, 6], sc.f[:3])
+    assert float(res.cost) < 1e-6
+
+
+def test_ba_focal_recovery(rng):
+    # Start focal 5% off; BA should pull it back (gauge allows a global
+    # scale, but with multiple cameras at the *same* true focal and full
+    # shared structure the reprojection term fixes it).
+    sc = Scene(rng, num_cams=4, num_pts=120)
+    prob = make_problem(rng, sc, cam_noise=0.01, pt_noise=0.02,
+                        est_distortion=False, f_guess=735.0)
+    res = run_ba(prob, max_iters=120)
+    f_est = np.asarray(res.cam)[:4, 6]
+    assert float(res.cost) < 1e-4
+    assert np.allclose(f_est, 700.0, rtol=5e-3)
+
+
+def test_ba_motion_only(rng):
+    sc = Scene(rng, num_cams=3, num_pts=80)
+    prob = make_problem(rng, sc, cam_noise=0.02, pt_noise=0.0,
+                        est_distortion=False)
+    res = run_ba(prob, max_iters=60, fix_points=True)
+    # Points fixed at ground truth -> cameras must land on ground truth.
+    assert np.allclose(np.asarray(res.pts), np.asarray(prob.pts0))
+    assert float(res.cost) < 1e-8
+    for i in range(3):
+        assert np.allclose(np.asarray(res.cam)[i, 0:3], sc.centers[i],
+                           atol=1e-5)
+
+
+def test_ba_fixed_cameras(rng):
+    sc = Scene(rng, num_cams=3, num_pts=80)
+    fixed = np.array([True, False, False])
+    prob = make_problem(rng, sc, cam_noise=0.02, pt_noise=0.02,
+                        est_distortion=False, fixed_cameras=fixed)
+    res = run_ba(prob, max_iters=80)
+    got = np.asarray(res.cam)[0]
+    want = np.asarray(prob.cam0)[0]
+    assert np.allclose(got[0:3], want[0:3])   # center unchanged
+    assert np.allclose(np.asarray(res.R)[0], np.asarray(prob.R0)[0])
+    assert float(res.cost) < 1e-6
+
+
+def test_ba_focal_constraint(rng):
+    # A strong focal prior pins the focal near the target even when the
+    # starting value is off.
+    sc = Scene(rng, num_cams=3, num_pts=60)
+    C = 3
+    cc = np.zeros((C, CNP)); cc[:, 6] = 1.0
+    ct = np.zeros((C, CNP)); ct[:, 6] = 700.0
+    cw = np.zeros((C, CNP)); cw[:, 6] = 1e6
+    prob = make_problem(rng, sc, cam_noise=0.01, pt_noise=0.01,
+                        est_distortion=False, f_guess=760.0,
+                        cam_constrained=cc, cam_constraints=ct,
+                        cam_weights=cw)
+    res = run_ba(prob, max_iters=80)
+    assert np.allclose(np.asarray(res.cam)[:3, 6], 700.0, atol=1.0)
+
+
+def test_ba_with_distortion(rng):
+    sc = Scene(rng, num_cams=4, num_pts=150, k1=-0.08, k2=0.03)
+    prob = make_problem(rng, sc, cam_noise=0.01, pt_noise=0.02)
+    res = run_ba(prob, max_iters=150)
+    assert float(res.cost) < 1e-5
+    k_est = np.asarray(res.cam)[:4, 7:9]
+    assert np.allclose(k_est[:, 0], -0.08, atol=5e-3)
+    assert np.allclose(k_est[:, 1], 0.03, atol=5e-3)
+
+
+def test_ba_padding_invariance(rng):
+    sc = Scene(rng, num_cams=3, num_pts=50)
+    prob_a = make_problem(rng, sc, cam_noise=0.02, pt_noise=0.02,
+                          est_distortion=False)
+    rng2 = np.random.default_rng(0)
+    prob_b = make_problem(np.random.default_rng(12345), sc,
+                          cam_noise=0.0, pt_noise=0.0,
+                          est_distortion=False,
+                          pad_cams=8, pad_pts=64, pad_obs=256, max_views=4)
+    res_b = run_ba(prob_b, max_iters=30)
+    # Padded problem with exact init stays at (numerical) zero cost and
+    # padding slots remain untouched.
+    assert float(res_b.cost) < 1e-10
+    assert np.allclose(np.asarray(res_b.cam)[3:, 0:3], 0.0)
+
+
+def test_camera_refine(rng):
+    sc = Scene(rng, num_cams=1, num_pts=60)
+    w = rng.normal(size=3) * 0.02
+    R0 = np.asarray(rodrigues(jnp.asarray(w))) @ sc.R[0]
+    cam0 = np.zeros(CNP)
+    cam0[0:3] = sc.centers[0] + rng.normal(size=3) * 0.05
+    cam0[6] = 690.0
+    cam, R, cost = camera_refine(
+        jnp.asarray(cam0), jnp.asarray(R0),
+        jnp.asarray(sc.points), jnp.asarray(sc.obs[0]),
+        jnp.ones(60, dtype=bool),
+        True, False, 0.0, 0.0, 1e2, 80, 1e-3)
+    assert float(cost) < 1e-6
+    assert np.allclose(np.asarray(cam)[0:3], sc.centers[0], atol=1e-4)
+    assert np.asarray(cam)[6] == pytest.approx(700.0, rel=1e-3)
+    assert np.allclose(np.asarray(R), sc.R[0], atol=1e-4)

@@ -1,0 +1,82 @@
+import numpy as np
+
+from bundler_sfm_tpu.ops.matching import (
+    match_pair, match_pairs_batched, prune_double_matches, symmetrize, two_nn,
+)
+
+
+def brute_force_matches(d1, d2, ratio=0.6):
+    """Reference-semantics matcher in pure numpy (exact 2-NN + ratio test)."""
+    a = d1.astype(np.float64)
+    b = d2.astype(np.float64)
+    D = ((a**2).sum(1)[:, None] + (b**2).sum(1)[None, :] - 2 * a @ b.T)
+    out = []
+    for i in range(len(a)):
+        order = np.argsort(D[i])
+        d0, d1_ = D[i, order[0]], D[i, order[1]]
+        if d0 < ratio * ratio * d1_:
+            out.append((i, order[0]))
+    return np.array(out, dtype=np.int32).reshape(-1, 2)
+
+
+def make_descs(rng, n, seed_descs=None, n_shared=0, noise=4):
+    d = rng.integers(0, 256, (n, 128)).astype(np.uint8)
+    if seed_descs is not None and n_shared:
+        base = seed_descs[:n_shared].astype(np.int32)
+        jit = rng.integers(-noise, noise + 1, base.shape)
+        d[:n_shared] = np.clip(base + jit, 0, 255).astype(np.uint8)
+    return d
+
+
+def test_two_nn_exact(rng):
+    d1 = rng.integers(0, 256, (50, 128)).astype(np.float32)
+    d2 = rng.integers(0, 256, (300, 128)).astype(np.float32)
+    d2p = np.pad(d2, ((0, 1024 - 300), (0, 0)))
+    d0, i0, d1_ = two_nn(d1, d2p, np.int32(300), block=512)
+    D = ((d1**2).sum(1)[:, None] + (d2**2).sum(1)[None, :]
+         - 2 * d1 @ d2.T)
+    order = np.argsort(D, axis=1)
+    assert np.array_equal(np.asarray(i0), order[:, 0])
+    assert np.allclose(np.asarray(d0), D[np.arange(50), order[:, 0]], atol=1e-2)
+    assert np.allclose(np.asarray(d1_), D[np.arange(50), order[:, 1]], atol=1e-2)
+
+
+def test_match_pair_vs_numpy(rng):
+    d2 = make_descs(rng, 200)
+    d1 = make_descs(rng, 150, seed_descs=d2, n_shared=60)
+    got = match_pair(d1, d2)
+    want = brute_force_matches(d1, d2)
+    assert np.array_equal(got, want)
+    # Shared descriptors should mostly match to their counterparts.
+    hits = sum(1 for a, b in got if a == b and a < 60)
+    assert hits > 40
+
+
+def test_match_pairs_batched(rng):
+    base = make_descs(rng, 120)
+    descs = [make_descs(rng, 100 + 13 * i, seed_descs=base, n_shared=50)
+             for i in range(4)]
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    got = match_pairs_batched(descs, pairs, batch=3, block=256, min_matches=0)
+    for (i, j) in pairs:
+        want = prune_double_matches(brute_force_matches(descs[i], descs[j]))
+        assert np.array_equal(got[(i, j)], want), (i, j)
+
+
+def test_min_matches_cutoff(rng):
+    descs = [make_descs(rng, 64), make_descs(rng, 64)]
+    got = match_pairs_batched(descs, [(0, 1)], block=256, min_matches=16)
+    # Random descriptors rarely pass the 0.6 ratio test -> pair dropped.
+    assert (0, 1) not in got or len(got[(0, 1)]) >= 16
+
+
+def test_prune_double_matches():
+    m = np.array([[0, 5], [1, 7], [2, 5], [3, 9], [4, 7]], dtype=np.int32)
+    got = prune_double_matches(m)
+    assert np.array_equal(got, np.array([[0, 5], [1, 7], [3, 9]]))
+
+
+def test_symmetrize():
+    m = {(0, 1): np.array([[2, 3], [4, 5]], dtype=np.int32)}
+    s = symmetrize(m)
+    assert np.array_equal(s[(1, 0)], np.array([[3, 2], [5, 4]]))
