@@ -1,0 +1,239 @@
+"""`bundler` executable equivalent — option parsing + top-level control flow.
+
+Mirrors `BundlerApp::ProcessOptions` (`src/BundlerApp.cpp:208-738`, ~70 long
+options, recursive `--options_file`) and `OnInit` (`:747-1046`).  Usage:
+
+    python -m bundler_sfm_tpu.bundler list.txt --options_file options.txt
+    python -m bundler_sfm_tpu.bundler list.txt --match_table matches.init.txt \
+        --run_bundle --output bundle.out --output_dir bundle \
+        --variable_focal_length --use_focal_estimate --constrain_focal \
+        --constrain_focal_weight 0.0001 --estimate_distortion
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shlex
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bundler", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("list_file")
+    p.add_argument("--options_file", default=None)
+    # Control flow
+    p.add_argument("--run_bundle", action="store_true")
+    p.add_argument("--rerun_bundle", action="store_true")
+    p.add_argument("--slow_bundle", action="store_true")
+    p.add_argument("--match_table", default=None)
+    p.add_argument("--match_dir", default=".")
+    p.add_argument("--key_dir", default=".")
+    p.add_argument("--image_dir", default=".")
+    p.add_argument("--output_dir", default=".")
+    p.add_argument("--output", default=None)
+    p.add_argument("--output_all", default=None)
+    p.add_argument("--bundle", default=None)
+    # Focal / intrinsics
+    p.add_argument("--variable_focal_length", action="store_true")
+    p.add_argument("--fixed_focal_length", action="store_true")
+    p.add_argument("--init_focal_length", type=float, default=532.0)
+    p.add_argument("--use_focal_estimate", action="store_true")
+    p.add_argument("--trust_focal_estimate", action="store_true")
+    p.add_argument("--constrain_focal", action="store_true")
+    p.add_argument("--constrain_focal_weight", type=float, default=100.0)
+    p.add_argument("--only_bundle_init_focal", action="store_true")
+    p.add_argument("--estimate_distortion", action="store_true")
+    p.add_argument("--intrinsics", default=None)
+    # Geometry thresholds
+    p.add_argument("--homography_threshold", type=float, default=6.0)
+    p.add_argument("--homography_rounds", type=int, default=256)
+    p.add_argument("--fmatrix_threshold", type=float, default=9.0)
+    p.add_argument("--fmatrix_rounds", type=int, default=2048)
+    p.add_argument("--skip_fmatrix", action="store_true")
+    p.add_argument("--skip_homographies", action="store_true")
+    p.add_argument("--projection_estimation_threshold", type=float, default=4.0)
+    p.add_argument("--min_proj_error_threshold", type=float, default=8.0)
+    p.add_argument("--max_proj_error_threshold", type=float, default=16.0)
+    p.add_argument("--ray_angle_threshold", type=float, default=2.0)
+    # Matching / tracks
+    p.add_argument("--min_num_feat_matches", type=int, default=16)
+    p.add_argument("--min_max_matches", type=int, default=16)
+    p.add_argument("--num_matches_add_camera", type=int, default=-1)
+    p.add_argument("--min_track_views", type=int, default=2)
+    p.add_argument("--max_track_views", type=int, default=100000)
+    p.add_argument("--keypoint_border_width", type=int, default=0)
+    p.add_argument("--keypoint_border_bottom", type=int, default=0)
+    p.add_argument("--ann_max_pts_visit", type=int, default=400)
+    # Loop behavior
+    p.add_argument("--init_pair1", type=int, default=-1)
+    p.add_argument("--init_pair2", type=int, default=-1)
+    p.add_argument("--panorama_mode", action="store_true")
+    p.add_argument("--estimate_ignored", action="store_true")
+    p.add_argument("--skip_full_bundle", action="store_true")
+    p.add_argument("--skip_add_points", action="store_true")
+    p.add_argument("--ignore_file", default=None)
+    p.add_argument("--use_ceres", action="store_true",
+                   help="accepted for compatibility; the Schur-LM TPU "
+                        "backend is always used")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def parse_with_options_file(argv: List[str]) -> argparse.Namespace:
+    """Recursive --options_file expansion (src/BundlerApp.cpp:678-731):
+    each line of the file is `key value...`, becoming `--key value...`."""
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    seen = set()
+    while args.options_file:
+        path = args.options_file
+        if path in seen:
+            break
+        seen.add(path)
+        extra: List[str] = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                toks = shlex.split(line)
+                key = toks[0]
+                if not key.startswith("--"):
+                    key = "--" + key
+                extra.append(key)
+                extra.extend(toks[1:])
+        args.options_file = None
+        args = parser.parse_args(argv + extra, namespace=args)
+        if args.options_file == path:
+            args.options_file = None
+    return args
+
+
+def scene_from_args(args) -> "Scene":
+    from bundler_sfm_tpu.config import BundlerConfig
+    from bundler_sfm_tpu.io.keyfile import read_key_file, keys_to_centered
+    from bundler_sfm_tpu.io.listfile import read_list_file
+    from bundler_sfm_tpu.io.matchfile import read_match_file
+    from bundler_sfm_tpu.pipeline.scene import Scene
+
+    cfg = BundlerConfig(
+        fixed_focal_length=not args.variable_focal_length,
+        init_focal_length=args.init_focal_length,
+        use_focal_estimate=args.use_focal_estimate,
+        trust_focal_estimate=args.trust_focal_estimate,
+        estimate_distortion=args.estimate_distortion,
+        constrain_focal=args.constrain_focal,
+        constrain_focal_weight=args.constrain_focal_weight,
+        only_bundle_init_focal=args.only_bundle_init_focal,
+        homography_threshold=args.homography_threshold,
+        homography_rounds=args.homography_rounds,
+        fmatrix_threshold=args.fmatrix_threshold,
+        fmatrix_rounds=args.fmatrix_rounds,
+        skip_fmatrix=args.skip_fmatrix,
+        skip_homographies=args.skip_homographies,
+        projection_estimation_threshold=args.projection_estimation_threshold,
+        min_proj_error_threshold=args.min_proj_error_threshold,
+        max_proj_error_threshold=args.max_proj_error_threshold,
+        ray_angle_threshold=args.ray_angle_threshold,
+        min_num_feat_matches=args.min_num_feat_matches,
+        min_max_matches=args.min_max_matches,
+        num_matches_add_camera=args.num_matches_add_camera,
+        min_track_views=args.min_track_views,
+        max_track_views=args.max_track_views,
+        initial_pair=(args.init_pair1, args.init_pair2),
+        panorama_mode=args.panorama_mode,
+        estimate_ignored=args.estimate_ignored,
+        skip_full_bundle=args.skip_full_bundle,
+        skip_add_points=args.skip_add_points,
+        image_directory=args.image_dir,
+        key_directory=args.key_dir,
+        match_directory=args.match_dir,
+        output_directory=args.output_dir,
+        bundle_output_file=args.output or "bundle.out",
+        bundle_output_base=args.output_all or "bundle_",
+        output_all=args.output_all is not None,
+    ).validate()
+
+    entries = read_list_file(args.list_file, args.image_dir)
+    dims: List[tuple] = []
+    key_xy: List[np.ndarray] = []
+    key_color: List[Optional[np.ndarray]] = []
+    for e in entries:
+        info = None
+        try:
+            info, _ = read_key_file(e.key_name(args.key_dir))
+        except FileNotFoundError:
+            pass
+        w, h = _image_dims(e.name)
+        dims.append((w, h))
+        if info is None:
+            key_xy.append(np.zeros((0, 2)))
+            key_color.append(None)
+            continue
+        cent = keys_to_centered(info, w, h)
+        key_xy.append(cent[:, 0:2].astype(np.float64))
+        key_color.append(_key_colors(e.name, info))
+
+    scene = Scene(config=cfg, entries=entries, dims=dims, key_xy=key_xy,
+                  key_color=key_color)
+    if args.ignore_file:
+        with open(args.ignore_file) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    scene.ignore_in_bundle[int(line)] = True
+    if args.match_table:
+        scene.matches = read_match_file(args.match_table)
+    return scene
+
+
+def _image_dims(path):
+    try:
+        from PIL import Image
+        with Image.open(path) as img:
+            return img.size
+    except Exception:
+        return (1024, 768)
+
+
+def _key_colors(path, info):
+    """Sample pixel colors at keypoint locations (`ReadKeyColors`,
+    `src/ImageData.cpp`)."""
+    try:
+        from PIL import Image
+        with Image.open(path) as img:
+            arr = np.asarray(img.convert("RGB"))
+        h, w = arr.shape[:2]
+        xs = np.clip(info[:, 0].astype(int), 0, w - 1)
+        ys = np.clip(info[:, 1].astype(int), 0, h - 1)
+        return arr[ys, xs]
+    except Exception:
+        return None
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = parse_with_options_file(argv if argv is not None else sys.argv[1:])
+    scene = scene_from_args(args)
+    print(f"[bundler] {scene.num_images} images, "
+          f"{len(scene.matches)} matched pairs")
+    if not args.run_bundle:
+        print("[bundler] --run_bundle not given; nothing to do")
+        return 0
+    from bundler_sfm_tpu.pipeline.verify import compute_geometric_constraints
+    from bundler_sfm_tpu.pipeline.incremental import bundle_adjust_fast
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    compute_geometric_constraints(scene, seed=args.seed)
+    print(f"[bundler] {len(scene.tracks)} tracks")
+    bundle_adjust_fast(scene, out_dir=args.output_dir, seed=args.seed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,364 @@
+"""DoG-SIFT feature extraction as JAX/TPU kernels.
+
+The reference has no in-tree feature extractor — it shells out to Lowe's
+`sift` binary per image (`ImageData::ExtractFeatures`, `src/ImageData.cpp:739`,
+driven by `bin/ToSift.sh`).  Here the whole detector+descriptor runs on-chip:
+Gaussian pyramids are separable convolutions (MXU-friendly), extrema
+detection is shift-compare reductions, and orientation/descriptor are
+vmapped fixed-size patch kernels — one jit per octave shape.
+
+Algorithm follows Lowe (IJCV 2004): initial 2x upsample, sigma0 = 1.6,
+3 scales/octave, contrast threshold 0.04, edge ratio 10, 36-bin orientation
+histogram with 0.8-peak multi-orientation, 4x4x8 descriptor with trilinear
+binning, 0.2 clamp, 512 scaling to uint8 — matching the key files the
+reference's pipeline consumes (`src/keys2a.h:81-89` format).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_SCALES = 3          # s: scales per octave
+SIGMA0 = 1.6
+INIT_SIGMA = 0.5        # assumed blur of the input image
+CONTRAST_THR = 0.04
+EDGE_THR = 10.0
+ORI_BINS = 36
+ORI_PEAK_RATIO = 0.8
+DESC_WIDTH = 4          # 4x4 spatial bins
+DESC_BINS = 8
+DESC_SCL_FCTR = 3.0     # bin width = 3 * sigma
+DESC_MAG_THR = 0.2
+PATCH = 32              # fixed gradient patch (octave pixels) per keypoint
+
+
+def _gauss_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur, [H,W] float32."""
+    radius = max(1, int(np.ceil(3.0 * sigma)))
+    k = jnp.asarray(_gauss_kernel1d(sigma, radius))
+    pad = radius
+    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("num_scales",))
+def build_octave(base: jnp.ndarray, num_scales: int = NUM_SCALES):
+    """From an octave's base image (already at sigma0), build the Gaussian
+    stack [s+3, H, W], the DoG stack [s+2, H, W], and gradients."""
+    k = 2.0 ** (1.0 / num_scales)
+    imgs = [base]
+    sig_prev = SIGMA0
+    for i in range(1, num_scales + 3):
+        sig_total = SIGMA0 * (k ** i)
+        sig_extra = float(np.sqrt(max(sig_total ** 2 - sig_prev ** 2, 1e-8)))
+        imgs.append(_blur(imgs[-1], sig_extra))
+        sig_prev = sig_total
+    gauss = jnp.stack(imgs)                        # [s+3, H, W]
+    dog = gauss[1:] - gauss[:-1]                   # [s+2, H, W]
+    dx = jnp.zeros_like(gauss)
+    dx = dx.at[:, :, 1:-1].set(0.5 * (gauss[:, :, 2:] - gauss[:, :, :-2]))
+    dy = jnp.zeros_like(gauss)
+    dy = dy.at[:, 1:-1, :].set(0.5 * (gauss[:, 2:, :] - gauss[:, :-2, :]))
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    ori = jnp.arctan2(dy, dx)
+    return gauss, dog, mag, ori
+
+
+def _neighborhood_extrema(dog: jnp.ndarray) -> jnp.ndarray:
+    """Bool mask [s, H, W] of 26-neighborhood extrema for the middle scales."""
+    s2, H, W = dog.shape
+    # 3x3x3 max/min via shifted comparisons.
+    def shifts(x):
+        outs = []
+        for ds in (-1, 0, 1):
+            xs = jnp.roll(x, ds, axis=0)
+            for dyy in (-1, 0, 1):
+                xy = jnp.roll(xs, dyy, axis=1)
+                for dxx in (-1, 0, 1):
+                    if ds == 0 and dyy == 0 and dxx == 0:
+                        continue
+                    outs.append(jnp.roll(xy, dxx, axis=2))
+        return jnp.stack(outs)
+    nb = shifts(dog)                               # [26, s+2, H, W]
+    is_max = (dog > nb.max(axis=0))
+    is_min = (dog < nb.min(axis=0))
+    ext = (is_max | is_min) & (jnp.abs(dog) > 0.5 * CONTRAST_THR / NUM_SCALES)
+    ext = ext[1:-1]                                # middle scales only
+    # Kill borders (roll wraps around) and a safety margin.
+    B = 5
+    ext = ext.at[:, :B, :].set(False).at[:, -B:, :].set(False)
+    ext = ext.at[:, :, :B].set(False).at[:, :, -B:].set(False)
+    return ext
+
+
+@functools.partial(jax.jit, static_argnames=("max_keys",))
+def detect_octave(base: jnp.ndarray, max_keys: int):
+    """Detect + refine keypoints in one octave.
+
+    Returns (xys [K,2] octave coords, scale_sigma [K], scale_idx [K],
+    valid [K], response [K], mag, ori stacks) — padded to max_keys.
+    """
+    gauss, dog, mag, ori = build_octave(base)
+    ext = _neighborhood_extrema(dog)               # [s, H, W]
+    s, H, W = ext.shape
+    score = jnp.where(ext, jnp.abs(dog[1:-1]), 0.0)
+    flat = score.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_keys)
+    valid = vals > 0.0
+    si = idx // (H * W)
+    rem = idx % (H * W)
+    yi = rem // W
+    xi = rem % W
+
+    # Sub-pixel refinement: one 3D quadratic step (Lowe iterates; one clamped
+    # step captures nearly all of the shift).
+    def refine(s_i, y_i, x_i):
+        d = jax.lax.dynamic_slice(dog, (s_i, y_i - 1, x_i - 1), (3, 3, 3))
+        g = 0.5 * jnp.array([
+            d[2, 1, 1] - d[0, 1, 1],
+            d[1, 2, 1] - d[1, 0, 1],
+            d[1, 1, 2] - d[1, 1, 0]])
+        c = d[1, 1, 1]
+        dss = d[2, 1, 1] + d[0, 1, 1] - 2 * c
+        dyy = d[1, 2, 1] + d[1, 0, 1] - 2 * c
+        dxx = d[1, 1, 2] + d[1, 1, 0] - 2 * c
+        dsy = 0.25 * (d[2, 2, 1] - d[2, 0, 1] - d[0, 2, 1] + d[0, 0, 1])
+        dsx = 0.25 * (d[2, 1, 2] - d[2, 1, 0] - d[0, 1, 2] + d[0, 1, 0])
+        dyx = 0.25 * (d[1, 2, 2] - d[1, 2, 0] - d[1, 0, 2] + d[1, 0, 0])
+        Hm = jnp.array([[dss, dsy, dsx], [dsy, dyy, dyx], [dsx, dyx, dxx]])
+        off = -jnp.linalg.solve(Hm + 1e-12 * jnp.eye(3), g)
+        off = jnp.clip(off, -0.5, 0.5)
+        contrast = c + 0.5 * jnp.dot(g, off)
+        # Edge rejection on the 2x2 spatial Hessian.
+        tr = dyy + dxx
+        det = dyy * dxx - dyx * dyx
+        edge_ok = (det > 0) & (tr * tr / jnp.maximum(det, 1e-12)
+                               < (EDGE_THR + 1) ** 2 / EDGE_THR)
+        ok = (jnp.abs(contrast) > CONTRAST_THR / NUM_SCALES) & edge_ok
+        return off, ok
+
+    si1 = si + 1  # index into dog's full scale axis
+    offs, oks = jax.vmap(refine)(si1, yi, xi)
+    valid = valid & oks
+    xs = xi.astype(jnp.float32) + offs[:, 2]
+    ys = yi.astype(jnp.float32) + offs[:, 1]
+    sig = SIGMA0 * 2.0 ** ((si.astype(jnp.float32) + 1 + offs[:, 0])
+                           / NUM_SCALES)
+    return xs, ys, sig, si + 1, valid, vals, mag, ori
+
+
+@functools.partial(jax.jit, static_argnames=())
+def orientation_hist(mag_l: jnp.ndarray, ori_l: jnp.ndarray,
+                     x: jnp.ndarray, y: jnp.ndarray, sigma: jnp.ndarray):
+    """36-bin orientation histogram around (x, y) with window 1.5*sigma."""
+    xi = jnp.round(x).astype(jnp.int32)
+    yi = jnp.round(y).astype(jnp.int32)
+    half = PATCH // 2
+    m = jax.lax.dynamic_slice(mag_l, (yi - half, xi - half), (PATCH, PATCH))
+    o = jax.lax.dynamic_slice(ori_l, (yi - half, xi - half), (PATCH, PATCH))
+    ry = jax.lax.broadcasted_iota(jnp.float32, (PATCH, PATCH), 0) - half
+    rx = jax.lax.broadcasted_iota(jnp.float32, (PATCH, PATCH), 1) - half
+    sig_w = 1.5 * sigma
+    w = jnp.exp(-(rx * rx + ry * ry) / (2.0 * sig_w * sig_w))
+    w = jnp.where(rx * rx + ry * ry <= (4.5 * sigma) ** 2, w, 0.0)
+    binf = (o + jnp.pi) / (2 * jnp.pi) * ORI_BINS
+    b0 = jnp.floor(binf).astype(jnp.int32) % ORI_BINS
+    hist = jnp.zeros(ORI_BINS).at[b0.reshape(-1)].add((m * w).reshape(-1))
+    # Smooth the circular histogram twice.
+    for _ in range(2):
+        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+    return hist
+
+
+def _dominant_orientations(hist: jnp.ndarray):
+    """Peak + optional second peak >= 0.8*max, with parabolic refinement.
+    Returns (ori0, ori1, has_second)."""
+    hmax = jnp.max(hist)
+    left = jnp.roll(hist, 1)
+    right = jnp.roll(hist, -1)
+    is_peak = (hist > left) & (hist > right) & (hist >= ORI_PEAK_RATIO * hmax)
+    idx = jnp.argmax(hist)
+
+    def refine_bin(i):
+        l = hist[(i - 1) % ORI_BINS]
+        c = hist[i]
+        r = hist[(i + 1) % ORI_BINS]
+        off = 0.5 * (l - r) / jnp.maximum(l - 2 * c + r, 1e-12) * \
+            jnp.sign(-(l - 2 * c + r))
+        off = jnp.clip(0.5 * (l - r) / jnp.where(
+            jnp.abs(l - 2 * c + r) < 1e-12, 1e-12, (l - 2 * c + r)), -0.5, 0.5)
+        ang = (i.astype(jnp.float32) + 0.5 + off) / ORI_BINS * 2 * jnp.pi - jnp.pi
+        return ang
+
+    ori0 = refine_bin(idx)
+    # Second-best peak.
+    masked = jnp.where(is_peak, hist, -jnp.inf).at[idx].set(-jnp.inf)
+    idx2 = jnp.argmax(masked)
+    has2 = jnp.isfinite(masked[idx2])
+    ori1 = refine_bin(idx2)
+    return ori0, ori1, has2
+
+
+@functools.partial(jax.jit, static_argnames=())
+def descriptor(mag_l, ori_l, x, y, sigma, theta):
+    """128-d SIFT descriptor at (x, y, sigma, theta) from one gradient level."""
+    xi = jnp.round(x).astype(jnp.int32)
+    yi = jnp.round(y).astype(jnp.int32)
+    half = PATCH // 2
+    m = jax.lax.dynamic_slice(mag_l, (yi - half, xi - half), (PATCH, PATCH))
+    o = jax.lax.dynamic_slice(ori_l, (yi - half, xi - half), (PATCH, PATCH))
+    ry = (jax.lax.broadcasted_iota(jnp.float32, (PATCH, PATCH), 0) - half
+          + (y - yi))
+    rx = (jax.lax.broadcasted_iota(jnp.float32, (PATCH, PATCH), 1) - half
+          + (x - xi))
+    cos_t = jnp.cos(-theta)
+    sin_t = jnp.sin(-theta)
+    # Rotate into keypoint frame, in units of descriptor bins.
+    bin_w = DESC_SCL_FCTR * sigma
+    u = (cos_t * rx - sin_t * ry) / bin_w + DESC_WIDTH / 2 - 0.5
+    v = (sin_t * rx + cos_t * ry) / bin_w + DESC_WIDTH / 2 - 0.5
+    obin = ((o - theta + 3 * jnp.pi) % (2 * jnp.pi)) / (2 * jnp.pi) * DESC_BINS
+    w = jnp.exp(-((u - (DESC_WIDTH / 2 - 0.5)) ** 2 +
+                  (v - (DESC_WIDTH / 2 - 0.5)) ** 2) /
+                (0.5 * DESC_WIDTH ** 2))
+    wm = m * w
+    desc = jnp.zeros((DESC_WIDTH, DESC_WIDTH, DESC_BINS))
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    ob0 = jnp.floor(obin).astype(jnp.int32)
+    du = u - u0
+    dv = v - v0
+    do = obin - ob0
+    for iu in (0, 1):
+        for iv in (0, 1):
+            for io in (0, 1):
+                uu = u0 + iu
+                vv = v0 + iv
+                oo = (ob0 + io) % DESC_BINS
+                wt = (wm * (du if iu else 1 - du) * (dv if iv else 1 - dv)
+                      * (do if io else 1 - do))
+                inside = (uu >= 0) & (uu < DESC_WIDTH) & \
+                         (vv >= 0) & (vv < DESC_WIDTH)
+                wt = jnp.where(inside, wt, 0.0)
+                uu = jnp.clip(uu, 0, DESC_WIDTH - 1)
+                vv = jnp.clip(vv, 0, DESC_WIDTH - 1)
+                desc = desc.at[vv.reshape(-1), uu.reshape(-1),
+                               oo.reshape(-1)].add(wt.reshape(-1))
+    d = desc.reshape(-1)
+    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+    d = jnp.minimum(d, DESC_MAG_THR)
+    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+    return jnp.minimum(jnp.round(d * 512.0), 255.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_keys",))
+def extract_octave(base: jnp.ndarray, max_keys: int):
+    """Full per-octave pipeline: detect, orient, describe.
+
+    Returns (info [K,4] = x, y, sigma, theta in octave coords; desc [K,128];
+    valid [K]) for up to max_keys keypoints with the dominant orientation
+    plus up to one secondary orientation each (packed into 2*max_keys rows).
+    """
+    xs, ys, sig, lvl, valid, resp, mag, ori = detect_octave(base, max_keys)
+    H, W = base.shape
+    # Clamp so the PATCH window stays inside the image.
+    margin = PATCH // 2 + 1
+    inb = (xs > margin) & (xs < W - margin) & (ys > margin) & (ys < H - margin)
+    valid = valid & inb
+    xs_c = jnp.clip(xs, margin, W - margin)
+    ys_c = jnp.clip(ys, margin, H - margin)
+
+    def per_key(x, y, s, l):
+        m_l = mag[l]
+        o_l = ori[l]
+        hist = orientation_hist(m_l, o_l, x, y, s)
+        o0, o1, has2 = _dominant_orientations(hist)
+        d0 = descriptor(m_l, o_l, x, y, s, o0)
+        d1 = descriptor(m_l, o_l, x, y, s, o1)
+        return o0, o1, has2, d0, d1
+
+    o0, o1, has2, d0, d1 = jax.vmap(per_key)(xs_c, ys_c, sig, lvl)
+    info0 = jnp.stack([xs_c, ys_c, sig, o0], axis=1)
+    info1 = jnp.stack([xs_c, ys_c, sig, o1], axis=1)
+    info = jnp.concatenate([info0, info1])
+    desc = jnp.concatenate([d0, d1]).astype(jnp.uint8)
+    valid_all = jnp.concatenate([valid, valid & has2])
+    return info, desc, valid_all
+
+
+def extract_sift(image: np.ndarray, max_keys_total: int = 4096,
+                 upsample: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract SIFT keys from a grayscale image [H, W] (uint8 or float 0-255).
+
+    Returns (info [n,4] = x(col), y(row), scale, orientation in ORIGINAL image
+    coords, desc [n,128] uint8) — same contents as a Lowe .key file.
+    """
+    img = jnp.asarray(image, jnp.float32) / 255.0
+    if upsample:
+        img = jax.image.resize(img, (img.shape[0] * 2, img.shape[1] * 2),
+                               "bilinear")
+        first_scale = 0.5
+        sig_extra = float(np.sqrt(max(SIGMA0**2 - (2 * INIT_SIGMA)**2, 0.01)))
+    else:
+        first_scale = 1.0
+        sig_extra = float(np.sqrt(max(SIGMA0**2 - INIT_SIGMA**2, 0.01)))
+    base = _blur(img, sig_extra)
+
+    infos, descs = [], []
+    scale = first_scale
+    octave = 0
+    while min(base.shape) >= 2 * PATCH and octave < 6:
+        k = max(256, max_keys_total // (2 ** octave))
+        info, desc, valid = extract_octave(base, k)
+        info = np.asarray(info)
+        desc = np.asarray(desc)
+        valid = np.asarray(valid)
+        info = info[valid]
+        desc = desc[valid]
+        info[:, 0] *= scale
+        info[:, 1] *= scale
+        info[:, 2] *= scale
+        infos.append(info)
+        descs.append(desc)
+        # Next octave: downsample the s-th gaussian level (2x sigma0).
+        gauss, _, _, _ = build_octave(base)
+        base = gauss[NUM_SCALES][::2, ::2]
+        scale *= 2.0
+        octave += 1
+
+    info = np.concatenate(infos) if infos else np.zeros((0, 4), np.float32)
+    desc = np.concatenate(descs) if descs else np.zeros((0, 128), np.uint8)
+    if len(info) > max_keys_total:
+        # Keep the strongest by scale-spread order: prefer earlier octaves'
+        # top responses; here simply truncate deterministically by scale then
+        # position to stay reproducible.
+        order = np.lexsort((info[:, 1], info[:, 0], info[:, 2]))
+        keep = order[:max_keys_total]
+        info, desc = info[keep], desc[keep]
+    return info.astype(np.float32), desc
+
+
+def load_grayscale(path: str) -> np.ndarray:
+    from PIL import Image
+    with Image.open(path) as img:
+        return np.asarray(img.convert("L"), dtype=np.float32)

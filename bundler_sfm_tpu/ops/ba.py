@@ -241,23 +241,27 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool):
     return U, V, W, g_c, g_p, cost
 
 
-def assemble_schur(U_aug, Y, W, g_c, g_p, prob: BAProblem):
-    """Dense reduced camera system S [C,C,9,9] and rhs [C,9].
+def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
+    """Off-diagonal (point-coupled) part of the reduced camera system.
 
-    S_jk = U_j δ_jk − Σ_i Σ_{a,b ∈ views(i)} Y_a W_bᵀ  with cam(a)=j, cam(b)=k.
-    Assembled by scanning over the M×M view-slot pairs so peak memory stays
-    O(P·81), never O(P·M²·81).
+    S_off[j,k] = − Σ_i Σ_{a,b ∈ views(i)} Y_a W_bᵀ  (cam(a)=j, cam(b)=k) and
+    rhs_off[j] = − Σ_obs Y_o g_p[pt(o)].  These are the pieces that sum over
+    points, so in the sharded solver they are what gets psum'd; the caller
+    adds blockdiag(U_aug) and g_c afterwards.  Assembled by scanning over the
+    M×M view-slot pairs so peak memory stays O(P·81), never O(P·M²·81).
     """
-    C = U_aug.shape[0]
+    C = num_cameras
     M = prob.views_obs.shape[1]
-    dtype = U_aug.dtype
+    dtype = Y.dtype
 
     cam_of_slot = prob.obs_cam[prob.views_obs]          # [P,M]
     Yp = Y[prob.views_obs]                              # [P,M,9,3]
     Wp = W[prob.views_obs]                              # [P,M,9,3]
     maskp = prob.views_mask                             # [P,M]
 
-    S_off = jnp.zeros((C * C, CNP, CNP), dtype=dtype)
+    # Derive the zero init from Y so its device-varying type matches the
+    # scan body's output under shard_map.
+    S_off = jnp.zeros((C * C, CNP, CNP), dtype=dtype) + 0.0 * Y[0, 0, 0]
 
     def slot_pair(carry, mn):
         S_off = carry
@@ -275,13 +279,21 @@ def assemble_schur(U_aug, Y, W, g_c, g_p, prob: BAProblem):
 
     S_off, _ = jax.lax.scan(slot_pair, S_off,
                             jnp.arange(M * M, dtype=jnp.int32))
-    S = S_off.reshape(C, C, CNP, CNP)
-    S = S.at[jnp.arange(C), jnp.arange(C)].add(U_aug)
+    S_off = S_off.reshape(C, C, CNP, CNP)
 
-    # rhs = g_c − Σ_obs Y_o g_p[pt(o)]  (per camera).
+    # rhs_off = − Σ_obs Y_o g_p[pt(o)]  (per camera).
     contrib = jnp.einsum("oij,oj->oi", Y, g_p[prob.obs_pt])
-    rhs = g_c - jax.ops.segment_sum(contrib, prob.obs_cam, num_segments=C)
-    return S, rhs
+    rhs_off = -jax.ops.segment_sum(contrib, prob.obs_cam, num_segments=C)
+    return S_off, rhs_off
+
+
+def assemble_schur(U_aug, Y, W, g_c, g_p, prob: BAProblem):
+    """Full dense reduced camera system S [C,C,9,9] and rhs [C,9]:
+    S = blockdiag(U_aug) + S_off, rhs = g_c + rhs_off."""
+    C = U_aug.shape[0]
+    S_off, rhs_off = assemble_schur_off(Y, W, g_p, prob, C)
+    S = S_off.at[jnp.arange(C), jnp.arange(C)].add(U_aug)
+    return S, g_c + rhs_off
 
 
 def solve_schur(S, rhs):

@@ -46,15 +46,35 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _top2_merge(d0, i0, d1, i1, nd0, ni0, nd1, ni1):
-    """Merge two (dist, idx) top-2 sets into one."""
-    # Candidates: 4 each; selection network for top-2 of 4.
-    ds = jnp.stack([d0, d1, nd0, nd1], axis=-1)
-    is_ = jnp.stack([i0, i1, ni0, ni1], axis=-1)
-    order = jnp.argsort(ds, axis=-1)
-    d_sorted = jnp.take_along_axis(ds, order, axis=-1)
-    i_sorted = jnp.take_along_axis(is_, order, axis=-1)
-    return (d_sorted[..., 0], i_sorted[..., 0],
-            d_sorted[..., 1], i_sorted[..., 1])
+    """Merge two (dist, idx) top-2 sets into one (selection network —
+    cheaper on the VPU than a 4-way sort)."""
+    # Best of the two firsts.
+    a_first = d0 <= nd0
+    m0 = jnp.where(a_first, d0, nd0)
+    j0 = jnp.where(a_first, i0, ni0)
+    # Second best: loser of the firsts vs winner's own second.
+    loser = jnp.where(a_first, nd0, d0)
+    own_second = jnp.where(a_first, d1, nd1)
+    second_is_loser = loser <= own_second
+    m1 = jnp.where(second_is_loser, loser, own_second)
+    j1 = jnp.where(second_is_loser,
+                   jnp.where(a_first, ni0, i0),
+                   jnp.where(a_first, i1, ni1))
+    return m0, j0, m1, j1
+
+
+def _block_top2(d, start):
+    """Exact top-2 minima of [nq, block] via two masked reductions —
+    avoids lax.top_k's sort lowering on TPU."""
+    nq, block = d.shape
+    i0b = jnp.argmin(d, axis=1)
+    d0b = jnp.min(d, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nq, block), 1)
+    d_masked = jnp.where(col == i0b[:, None], _BIG, d)
+    i1b = jnp.argmin(d_masked, axis=1)
+    d1b = jnp.min(d_masked, axis=1)
+    return (d0b, (start + i0b).astype(jnp.int32),
+            d1b, (start + i1b).astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -72,10 +92,7 @@ def two_nn(query: jnp.ndarray, db: jnp.ndarray, db_count: jnp.ndarray,
     q_sq = jnp.sum(query * query, axis=1)  # [Nq]
     num_blocks = nd // block
 
-    def body(carry, b):
-        d0, i0, d1, i1 = carry
-        start = b * block
-        blk = jax.lax.dynamic_slice_in_dim(db, start, block, axis=0)
+    def block_dists(blk, start):
         b_sq = jnp.sum(blk * blk, axis=1)
         dots = jax.lax.dot_general(
             query, blk,
@@ -84,19 +101,27 @@ def two_nn(query: jnp.ndarray, db: jnp.ndarray, db_count: jnp.ndarray,
             preferred_element_type=jnp.float32,
         )  # [Nq, block]
         d = q_sq[:, None] + b_sq[None, :] - 2.0 * dots
-        idx_in_block = start + jax.lax.broadcasted_iota(jnp.int32, (nq, block), 1)
-        valid = idx_in_block < db_count
-        d = jnp.where(valid, d, _BIG)
-        # Block-local top-2 (negate: top_k gives max).
-        neg_top, top_idx = jax.lax.top_k(-d, 2)
-        nd0, nd1 = -neg_top[:, 0], -neg_top[:, 1]
-        ni0 = start + top_idx[:, 0]
-        ni1 = start + top_idx[:, 1]
-        carry = _top2_merge(d0, i0, d1, i1, nd0, ni0, nd1, ni1)
+        idx = start + jax.lax.broadcasted_iota(jnp.int32, (nq, block), 1)
+        return jnp.where(idx < db_count, d, _BIG)
+
+    if num_blocks == 1:
+        # Fast path: one MXU matmul + two reduction passes, no scan.
+        d = block_dists(db, jnp.int32(0))
+        d0, i0, d1, _ = _block_top2(d, jnp.int32(0))
+        return d0, i0, d1
+
+    def body(carry, b):
+        start = b * block
+        blk = jax.lax.dynamic_slice_in_dim(db, start, block, axis=0)
+        d = block_dists(blk, start)
+        carry = _top2_merge(*carry, *_block_top2(d, start))
         return carry, None
 
-    init = (jnp.full((nq,), _BIG, jnp.float32), jnp.zeros((nq,), jnp.int32),
-            jnp.full((nq,), _BIG, jnp.float32), jnp.zeros((nq,), jnp.int32))
+    # Derive the carry from the (possibly device-varying) input so shard_map's
+    # varying-axis tracking sees consistent types across the scan.
+    big = jnp.full_like(query[:, 0], _BIG)
+    zid = jnp.zeros_like(query[:, 0], dtype=jnp.int32)
+    init = (big, zid, big, zid)
     (d0, i0, d1, _), _ = jax.lax.scan(
         body, init, jnp.arange(num_blocks, dtype=jnp.int32))
     return d0, i0, d1
@@ -137,6 +162,62 @@ def _match_batch_kernel(descA, descB, countA, countB, ratio_sq, block):
         acc = _ratio_accept(d0, d1, ca, ratio_sq)
         return i0, acc
     return jax.vmap(one)(descA, descB, countA, countB)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _match_pairs_from_table(table, counts, pi, pj, ratio_sq, block):
+    """Pair matcher against an HBM-resident descriptor table.
+
+    table: [N_img, K, 128] f32 (uploaded once — critical when the host link
+    is slow); counts: [N_img]; pi/pj: [B] image indices per pair.  The
+    per-pair descriptor blocks are gathered ON DEVICE.
+    """
+    def one(i, j):
+        d0, i0, d1 = two_nn(table[i], table[j], counts[j], block=block)
+        acc = _ratio_accept(d0, d1, counts[i], ratio_sq)
+        return i0, acc
+    return jax.vmap(one)(pi, pj)
+
+
+class DescriptorTable:
+    """Device-resident padded descriptor store for repeated pair matching."""
+
+    def __init__(self, descs: Sequence[np.ndarray], block: int = 2048):
+        self.block = block
+        kmax = _round_up(max((len(d) for d in descs), default=1) or 1, block)
+        n = len(descs)
+        table = np.zeros((n, kmax, 128), dtype=np.float32)
+        counts = np.zeros(n, dtype=np.int32)
+        for i, d in enumerate(descs):
+            table[i, :len(d)] = d
+            counts[i] = len(d)
+        self.table = jax.device_put(table)
+        self.counts = jax.device_put(counts)
+
+    def match_pairs(self, pairs: Sequence[Tuple[int, int]],
+                    ratio: float = 0.6, batch: int = 16,
+                    min_matches: int = 0) -> "Dict[Tuple[int,int], np.ndarray]":
+        out: Dict[Tuple[int, int], np.ndarray] = {}
+        for start in range(0, len(pairs), batch):
+            chunk = list(pairs[start:start + batch])
+            n_real = len(chunk)
+            while len(chunk) < batch:
+                chunk.append(chunk[0])
+            pi = jnp.asarray(np.array([i for i, _ in chunk], np.int32))
+            pj = jnp.asarray(np.array([j for _, j in chunk], np.int32))
+            i0, acc = _match_pairs_from_table(
+                self.table, self.counts, pi, pj,
+                jnp.float32(ratio * ratio), self.block)
+            i0 = np.asarray(i0)
+            acc = np.asarray(acc)
+            for p in range(n_real):
+                i, j = chunk[p]
+                idx1 = np.nonzero(acc[p])[0].astype(np.int32)
+                m = np.stack([idx1, i0[p, idx1].astype(np.int32)], axis=1)
+                m = prune_double_matches(m)
+                if len(m) >= min_matches:
+                    out[(i, j)] = m
+        return out
 
 
 def match_pairs_batched(

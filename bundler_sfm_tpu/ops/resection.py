@@ -113,6 +113,10 @@ def find_and_verify_camera(key, X, x, n_valid, threshold, weak_threshold,
     """
     P, _, cnt = find_projection_ransac(key, X, x, n_valid, threshold,
                                        num_rounds=num_rounds)
+    # Normalize the DLT's global sign so det(P3) > 0 — then the RQ split
+    # yields K with positive diagonal and a proper rotation (det +1).
+    sgn = jnp.sign(jnp.linalg.det(P[:, 0:3]))
+    P = P * jnp.where(sgn == 0, 1.0, sgn)
     K, Q = rq3(P[:, 0:3])
     K, R = fix_intrinsics_sign(K, Q)
     t = jnp.linalg.solve(K, P[:, 3])

@@ -85,13 +85,15 @@ def rq3(M: jnp.ndarray):
 
 
 def fix_intrinsics_sign(K: jnp.ndarray, Q: jnp.ndarray):
-    """Make diag(K) positive by flipping matching columns of K / rows of Q,
-    then ensure det(Q) = +1.  Mirrors `FixIntrinsics` usage in
-    `src/Bundle.cpp:2926-2928`."""
+    """Make diag(K) positive by flipping matching columns of K / rows of Q
+    (preserves K@Q).  Mirrors `FixIntrinsics` usage in
+    `src/Bundle.cpp:2926-2928`.
+
+    Contract: det(K@Q) must be > 0 — then diag(K) > 0 implies det(Q) = +1.
+    Callers decomposing a DLT projection matrix must sign-normalize it first
+    (multiply P by sign(det P[:,:3]))."""
     sign = jnp.sign(jnp.diagonal(K, axis1=-2, axis2=-1))
     sign = jnp.where(sign == 0, 1.0, sign)
     K = K * sign[..., None, :]
     Q = Q * sign[..., :, None]
-    det = jnp.linalg.det(Q)
-    Q = Q * jnp.sign(det)[..., None, None]
     return K, Q

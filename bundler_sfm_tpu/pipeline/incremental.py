@@ -1,0 +1,751 @@
+"""Incremental reconstruction driver — the `BundleAdjustFast` state machine
+(`src/BundleFast.cpp:37-526`), host Python orchestrating jitted TPU kernels.
+
+Loop structure (call stack SURVEY.md §3.2):
+  pick initial pair  (`BundlePickInitialPair`, src/Bundle.cpp:1578-1701)
+  setup initial pair (`SetupInitialCameraPair`, src/Bundle.cpp:1704-1884)
+  run_sfm            (`RunSFM_SBA` + outlier loop, src/Bundle.cpp:568-919)
+  while images remain:
+    find candidates  (`FindCameraWithMostMatches` / `FindCamerasWithNMatches`)
+    register batch   (`BundleInitializeImage`, src/Bundle.cpp:2994-3270)
+    triangulate      (`BundleAdjustAddAllNewPoints`, src/BundleAdd.cpp:193-427)
+    run_sfm + prune  (`RemoveBadPointsAndCameras`, src/Bundle.cpp:4190-4261)
+    dump round outputs
+
+TPU mapping: resection RANSAC, camera refinement, N-view triangulation,
+ray-angle gates and the bundle adjustment are all jitted/batched kernels;
+the host keeps only the bookkeeping (which image joins when).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundler_sfm_tpu.config import BundlerConfig
+from bundler_sfm_tpu.io.bundlefile import BundleCamera, BundleFile, BundlePoint
+from bundler_sfm_tpu.io.plyfile import write_points_ply
+from bundler_sfm_tpu.io.bundlefile import write_bundle_file
+from bundler_sfm_tpu.ops.ba import CNP, build_problem, run_ba
+from bundler_sfm_tpu.ops.fmatrix import estimate_ematrix
+from bundler_sfm_tpu.ops.essential import (
+    decompose_essential_multipt, pose_to_center,
+)
+from bundler_sfm_tpu.ops.lm import camera_refine
+from bundler_sfm_tpu.ops.projection import ray_directions
+from bundler_sfm_tpu.ops.resection import find_and_verify_camera
+from bundler_sfm_tpu.ops.triangulate import (
+    triangulate_tracks_pixels, triangulate_two_view,
+)
+from bundler_sfm_tpu.pipeline.scene import CameraPose, Scene
+from bundler_sfm_tpu.pipeline.tracks import matches_from_tracks
+
+INIT_REPROJECTION_ERROR = 16.0   # src/BundleAdd.cpp:43
+ADD_REPROJECTION_ERROR = 16.0    # src/BundleAdd.cpp:44
+INITIAL_DEPTH = 3.0              # src/Bundle.cpp:1776
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _bucket(n, lo=64):
+    """Power-of-two-ish padding to bound recompilation."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class Reconstruction:
+    """Mutable reconstruction state (the arrays BundleAdjustFast carries)."""
+    added_order: List[int]                    # cam slot -> image idx
+    cam_R: List[np.ndarray]                   # per slot [3,3]
+    cam_params: List[np.ndarray]              # per slot [9] (c,0,f,k1,k2)
+    points: List[np.ndarray]                  # [3] each
+    colors: List[np.ndarray]
+    pt_views: List[List[Tuple[int, int]]]     # (cam_slot, key_idx)
+    track_extra: np.ndarray                   # [T] -> point idx / -1
+    key_extra: List[Dict[int, int]]           # img -> {key: pt | -1 | -2}
+
+    @property
+    def num_cameras(self):
+        return len(self.added_order)
+
+    @property
+    def num_points(self):
+        return len(self.points)
+
+    def slot_of_image(self, img: int) -> Optional[int]:
+        try:
+            return self.added_order.index(img)
+        except ValueError:
+            return None
+
+
+def log(msg: str):
+    print(msg, flush=True)
+
+
+# --------------------------------------------------------------------------
+# Initial pair
+# --------------------------------------------------------------------------
+
+def pick_initial_pair(scene: Scene, use_init_focal_only: bool
+                      ) -> Tuple[int, int]:
+    """`BundlePickInitialPair` (src/Bundle.cpp:1578-1701): most track-matches
+    among pairs whose homography fits badly (score = 1/inlier_ratio > 2)."""
+    cfg = scene.config
+    if cfg.initial_pair[0] >= 0 and cfg.initial_pair[1] >= 0:
+        return cfg.initial_pair
+    n = scene.num_images
+    SCORE_THRESHOLD = 2.0
+    MATCH_THRESHOLD, MIN_SCORE, MIN_MATCHES = 32, 1.0e-1, 80
+    best = (-1, -1, 0, 0.0)      # i, j, matches, score
+    best2 = (-1, -1, 0, 0.0)
+    track_sets = [set(vp) for vp in scene.visible_points]
+    for i in range(n):
+        if scene.ignore_in_bundle[i]:
+            continue
+        if use_init_focal_only and cfg.use_focal_estimate \
+                and not scene.has_init_focal(i):
+            continue
+        for j in range(i + 1, n):
+            if scene.ignore_in_bundle[j]:
+                continue
+            if use_init_focal_only and cfg.use_focal_estimate \
+                    and not scene.has_init_focal(j):
+                continue
+            num_matches = len(track_sets[i] & track_sets[j])
+            if num_matches <= MATCH_THRESHOLD:
+                continue
+            ti = scene.transforms.get((i, j))
+            ratio = ti.inlier_ratio if ti else 0.0
+            score = MIN_SCORE if ratio == 0.0 else 1.0 / ratio
+            if num_matches > best[2] and score > SCORE_THRESHOLD:
+                best = (i, j, num_matches, score)
+            if num_matches > MIN_MATCHES and score > best2[3]:
+                best2 = (i, j, num_matches, score)
+    if best[0] != -1:
+        return best[0], best[1]
+    if best2[0] != -1:
+        return best2[0], best2[1]
+    if use_init_focal_only:
+        return pick_initial_pair(scene, False)
+    return 0, 1
+
+
+def setup_initial_pair(scene: Scene, i_best: int, j_best: int,
+                       seed: int = 0) -> Reconstruction:
+    """`SetupInitialCameraPair` (src/Bundle.cpp:1704-1884)."""
+    cfg = scene.config
+    f0 = scene.init_focal(i_best) if (not cfg.fixed_focal_length and
+                                      scene.has_init_focal(i_best)) \
+        else cfg.init_focal_length
+    f1 = scene.init_focal(j_best) if (not cfg.fixed_focal_length and
+                                      scene.has_init_focal(j_best)) \
+        else cfg.init_focal_length
+
+    R0 = np.eye(3)
+    c0 = np.zeros(3)
+    R1 = np.eye(3)
+    c1 = np.zeros(3)
+
+    pair_matches = matches_from_tracks(scene.tracks, i_best, j_best)
+    x1 = scene.key_xy[i_best][pair_matches[:, 0]]
+    x2 = scene.key_xy[j_best][pair_matches[:, 1]]
+
+    solved = False
+    if cfg.factor_essential and scene.has_init_focal(i_best) and \
+            scene.has_init_focal(j_best) and not cfg.use_constraints:
+        # Reference uses the 5-point solver at 512 rounds with threshold
+        # 0.25·fmatrix_threshold (src/RelativePose.cpp:216-223); we estimate
+        # E with the essential-projected 8-point on the same budget class.
+        n = len(pair_matches)
+        pad = _bucket(n, 64)
+        x1p = np.zeros((pad, 2)); x1p[:n] = x1
+        x2p = np.zeros((pad, 2)); x2p[:n] = x2
+        thr = (0.25 * cfg.fmatrix_threshold) ** 2
+        E, F, inl, cnt = estimate_ematrix(
+            jax.random.PRNGKey(seed + 101), jnp.asarray(x1p),
+            jnp.asarray(x2p), jnp.int32(n), f0, f1, jnp.float64(thr),
+            num_rounds=2048)
+        if int(cnt) > 0:
+            mask = np.zeros(pad, dtype=bool)
+            mask[:n] = True
+            R, t, ok = decompose_essential_multipt(
+                E, jnp.asarray(-x1p / f0), jnp.asarray(-x2p / f1),
+                jnp.asarray(mask))
+            if bool(ok):
+                R1 = np.asarray(R)
+                c1 = np.asarray(pose_to_center(R, t))
+                solved = True
+                log(f"[SetupInitialCameraPair] E-init: {int(cnt)}/{n} inliers")
+
+    recon = Reconstruction(
+        added_order=[i_best, j_best],
+        cam_R=[R0, R1],
+        cam_params=[
+            np.concatenate([c0, np.zeros(3), [f0], np.zeros(2)]),
+            np.concatenate([c1, np.zeros(3), [f1], np.zeros(2)]),
+        ],
+        points=[], colors=[], pt_views=[],
+        track_extra=np.full(len(scene.tracks), -1, dtype=np.int64),
+        key_extra=[dict() for _ in range(scene.num_images)],
+    )
+
+    # Triangulate the initial matches (src/Bundle.cpp:1806-1877).
+    for (k1, k2) in pair_matches:
+        p = scene.key_xy[i_best][k1]
+        q = scene.key_xy[j_best][k2]
+        if not solved:
+            x_pt = (p[0] / cfg.init_focal_length) * INITIAL_DEPTH
+            y_pt = (p[1] / cfg.init_focal_length) * INITIAL_DEPTH
+            X = np.array([x_pt, y_pt, INITIAL_DEPTH + c0[2]])
+        else:
+            X, err = triangulate_two_view(
+                jnp.asarray(-p / f0), jnp.asarray(-q / f1),
+                jnp.asarray(R0), jnp.asarray(-R0 @ c0),
+                jnp.asarray(R1), jnp.asarray(-R1 @ c1))
+            # Reference error gate: projection_estimation_threshold on the
+            # PIXEL error; err here is normalized rms -> scale by mean focal.
+            if float(err) * 0.5 * (f0 + f1) > cfg.projection_estimation_threshold:
+                continue
+            X = np.asarray(X)
+        pt_idx = len(recon.points)
+        recon.points.append(X)
+        recon.colors.append(scene.color_of_key(i_best, int(k1)))
+        recon.key_extra[i_best][int(k1)] = pt_idx
+        recon.key_extra[j_best][int(k2)] = pt_idx
+        tr = scene.key_track[i_best].get(int(k1))
+        if tr is not None:
+            recon.track_extra[tr] = pt_idx
+        recon.pt_views.append([(0, int(k1)), (1, int(k2))])
+    log(f"[SetupInitialCameraPair] {len(recon.points)} initial points")
+    return recon
+
+
+# --------------------------------------------------------------------------
+# Bundle adjustment wrapper with outlier loop
+# --------------------------------------------------------------------------
+
+def _gather_problem(recon: Reconstruction, scene: Scene,
+                    cfg: BundlerConfig):
+    """vmask/projections marshaling (src/Bundle.cpp:597-637): only points
+    with live views enter BA; remap maps recon idx -> BA idx."""
+    C = recon.num_cameras
+    live = [i for i, v in enumerate(recon.pt_views) if len(v) > 0]
+    remap = {p: k for k, p in enumerate(live)}
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for p in live:
+        for (slot, key) in recon.pt_views[p]:
+            img = recon.added_order[slot]
+            obs_cam.append(slot)
+            obs_pt.append(remap[p])
+            obs_xy.append(scene.key_xy[img][key])
+    return live, remap, (np.array(obs_cam, np.int32),
+                         np.array(obs_pt, np.int32),
+                         np.array(obs_xy, np.float64))
+
+
+def run_sfm(recon: Reconstruction, scene: Scene,
+            remove_outliers: bool = True, fix_points: bool = False,
+            verbose: bool = True) -> float:
+    """`RunSFM_SBA` with the >40-outlier re-bundle loop
+    (src/Bundle.cpp:568-919)."""
+    cfg = scene.config
+    MIN_POINTS, MIN_OUTLIERS = cfg.sfm_min_points, cfg.sfm_min_outliers
+    total_outliers = 0
+    avg_dist = 0.0
+    while True:
+        live, remap, (obs_cam, obs_pt, obs_xy) = _gather_problem(
+            recon, scene, cfg)
+        if len(live) < MIN_POINTS:
+            log("[RunSFM] Too few points remaining, exiting!")
+            return float("inf")
+
+        C = recon.num_cameras
+        cam0 = np.stack(recon.cam_params)
+        R0 = np.stack(recon.cam_R)
+        pts0 = np.stack([recon.points[p] for p in live])
+
+        # Focal/distortion constraints (SetCameraConstraints/
+        # SetFocalConstraint, src/Bundle.cpp:921-988).
+        cc = np.zeros((C, CNP)); ct = np.zeros((C, CNP)); cw = np.zeros((C, CNP))
+        for s in range(C):
+            img = recon.added_order[s]
+            if cfg.constrain_focal and scene.has_init_focal(img):
+                cc[s, 6] = 1.0
+                ct[s, 6] = scene.init_focal(img)
+                cw[s, 6] = cfg.constrain_focal_weight
+            if cfg.estimate_distortion:
+                cc[s, 7:9] = 1.0
+                cw[s, 7:9] = cfg.distortion_weight
+
+        Cp = _round_up(C, 4)
+        Pp = _bucket(len(live), 256)
+        Op = _bucket(len(obs_cam), 1024)
+        Mp = _round_up(max(len(recon.pt_views[p]) for p in live), 4)
+        prob = build_problem(
+            R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
+            est_focal=not cfg.fixed_focal_length,
+            est_distortion=cfg.estimate_distortion,
+            cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
+            pad_cams=Cp, pad_pts=Pp, pad_obs=Op, max_views=Mp)
+        res = run_ba(prob, max_iters=cfg.sfm_max_iters, fix_points=fix_points,
+                     tau=cfg.sfm_mu0_tau, eps1=cfg.sfm_eps1,
+                     eps2=cfg.sfm_eps2)
+        cam = np.asarray(res.cam)
+        Rf = np.asarray(res.R)
+        pts = np.asarray(res.pts)
+        for s in range(C):
+            recon.cam_params[s] = cam[s]
+            recon.cam_R[s] = Rf[s]
+        for k, p in enumerate(live):
+            recon.points[p] = pts[k]
+
+        # Per-camera reprojection stats + outlier threshold
+        # (src/Bundle.cpp:659-850).
+        from bundler_sfm_tpu.ops.projection import project_obs
+        pred = np.asarray(project_obs(
+            jnp.asarray(cam), jnp.asarray(Rf), jnp.asarray(pts),
+            jnp.asarray(obs_cam), jnp.asarray(obs_pt)))
+        dists = np.linalg.norm(pred - obs_xy, axis=1)
+        avg_dist = float(dists.mean()) if len(dists) else 0.0
+
+        outliers: List[int] = []
+        for s in range(C):
+            sel = obs_cam == s
+            if not sel.any():
+                continue
+            d = dists[sel]
+            med = np.partition(d, min(int(round(0.8 * len(d))), len(d) - 1))[
+                min(int(round(0.8 * len(d))), len(d) - 1)]
+            thresh = np.clip(1.2 * cfg.outlier_num_stddev * med,
+                             cfg.min_proj_error_threshold,
+                             cfg.max_proj_error_threshold)
+            if verbose:
+                log(f"[RunSFM] cam {s}: {sel.sum()} obs, mean "
+                    f"{d.mean():.3f}, p80 {med:.3f}, thresh {thresh:.3f}")
+            bad = np.nonzero(sel)[0][d > thresh]
+            for o in bad:
+                outliers.append(live[obs_pt[o]])
+        outliers = sorted(set(outliers))
+
+        if not remove_outliers:
+            return avg_dist
+
+        for p in outliers:
+            for (slot, key) in recon.pt_views[p]:
+                img = recon.added_order[slot]
+                recon.key_extra[img][key] = -2   # never re-added
+            recon.pt_views[p] = []
+            recon.colors[p] = np.array([0.0, 0.0, 255.0])
+        total_outliers += len(outliers)
+        if verbose:
+            log(f"[RunSFM] Removing {len(outliers)} outliers "
+                f"(iters={int(res.iters)}, cost {float(res.initial_cost):.1f}"
+                f" -> {float(res.cost):.1f})")
+        if len(outliers) <= MIN_OUTLIERS:
+            return avg_dist
+
+
+# --------------------------------------------------------------------------
+# Camera registration
+# --------------------------------------------------------------------------
+
+def find_candidate_images(recon: Reconstruction, scene: Scene
+                          ) -> Dict[int, int]:
+    """#existing 3D points seen by each unregistered image
+    (`FindCameraWithMostMatches`/`FindCamerasWithNMatches`,
+    src/Bundle.cpp:1437-1570)."""
+    counts: Dict[int, int] = {}
+    registered = set(recon.added_order)
+    for i in range(scene.num_images):
+        if i in registered or scene.ignore_in_bundle[i]:
+            continue
+        if scene.config.only_bundle_init_focal and not scene.has_init_focal(i):
+            continue
+        cnt = 0
+        for tr in scene.visible_points[i]:
+            pt = recon.track_extra[tr]
+            if pt >= 0 and len(recon.pt_views[pt]) > 0:
+                cnt += 1
+        counts[i] = cnt
+    return counts
+
+
+def refine_camera_iterative(scene: Scene, img: int, cam0: np.ndarray,
+                            R0: np.ndarray, pts: np.ndarray,
+                            projs: np.ndarray, adjust_focal: bool
+                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """`RefineCameraParameters` (src/Bundle.cpp:2535-2694): repeat
+    {camera_refine, drop obs with error > clamp(2.4·p95, 8, 16)} until the
+    inlier set stabilizes.  Returns (cam, R, inlier_indices)."""
+    cfg = scene.config
+    idxs = np.arange(len(pts))
+    cur_pts, cur_projs = pts, projs
+    cam, R = cam0, R0
+    pad = _bucket(len(pts), 64)
+
+    def refine(cam, R, pts_a, projs_a, adjust_f):
+        n = len(pts_a)
+        P = np.zeros((pad, 3)); P[:n] = pts_a
+        X = np.zeros((pad, 2)); X[:n] = projs_a
+        m = np.zeros(pad, dtype=bool); m[:n] = True
+        fw = cfg.constrain_focal_weight if (cfg.constrain_focal and
+                                            scene.has_init_focal(img)) else 0.0
+        fc = scene.init_focal(img) if fw > 0 else 0.0
+        c, Rn, cost = camera_refine(
+            jnp.asarray(cam), jnp.asarray(R), jnp.asarray(P), jnp.asarray(X),
+            jnp.asarray(m), adjust_f, cfg.estimate_distortion,
+            fc, fw, cfg.distortion_weight, 50, 1e-3)
+        return np.asarray(c), np.asarray(Rn)
+
+    # First pass with focal fixed (src/Bundle.cpp:2562).
+    cam, R = refine(cam, R, cur_pts, cur_projs, False)
+    for _ in range(20):
+        cam, R = refine(cam, R, cur_pts, cur_projs, adjust_focal)
+        from bundler_sfm_tpu.ops.projection import project_one
+        pred = np.stack([
+            np.asarray(project_one(jnp.asarray(cam), jnp.asarray(R),
+                                   jnp.asarray(p))) for p in cur_pts])
+        errs = np.linalg.norm(pred - cur_projs, axis=1)
+        k95 = min(int(round(0.95 * len(errs))), len(errs) - 1)
+        med = np.partition(errs, k95)[k95]
+        thr = np.clip(1.2 * cfg.outlier_num_stddev * med,
+                      cfg.min_proj_error_threshold,
+                      cfg.max_proj_error_threshold)
+        keep = errs < thr
+        if keep.all():
+            break
+        idxs = idxs[keep]
+        cur_pts = cur_pts[keep]
+        cur_projs = cur_projs[keep]
+        if len(cur_pts) == 0:
+            break
+    return cam, R, idxs
+
+
+def bundle_initialize_image(recon: Reconstruction, scene: Scene, img: int,
+                            cam_slot: int, seed: int) -> bool:
+    """`BundleInitializeImage` (src/Bundle.cpp:2994-3270)."""
+    cfg = scene.config
+    # Connect existing 3D points.
+    pts3, projs, pt_idx, keys = [], [], [], []
+    for tr, key in zip(scene.visible_points[img], scene.visible_keys[img]):
+        pt = recon.track_extra[tr]
+        if pt < 0 or len(recon.pt_views[pt]) == 0:
+            continue
+        pts3.append(recon.points[pt])
+        projs.append(scene.key_xy[img][key])
+        pt_idx.append(pt)
+        keys.append(key)
+    if len(pts3) < cfg.min_max_matches:
+        log(f"[BundleInitializeImage] {img}: too few matches")
+        return False
+    pts3 = np.stack(pts3)
+    projs = np.stack(projs)
+    n = len(pts3)
+
+    pad = _bucket(n, 64)
+    Xp = np.zeros((pad, 3)); Xp[:n] = pts3
+    xp = np.zeros((pad, 2)); xp[:n] = projs
+    ver = find_and_verify_camera(
+        jax.random.PRNGKey(seed), jnp.asarray(Xp), jnp.asarray(xp),
+        jnp.int32(n), jnp.float64(cfg.projection_estimation_threshold),
+        jnp.float64(16.0 * cfg.projection_estimation_threshold),
+        num_rounds=cfg.projection_rounds)
+    if not bool(ver.ok):
+        log(f"[BundleInitializeImage] {img}: pose estimation failed")
+        return False
+    K = np.asarray(ver.K)
+    R = np.asarray(ver.R)
+    t = np.asarray(ver.t)
+    center = -R.T @ t
+
+    # Focal initialization (src/Bundle.cpp:3131-3172).
+    if cfg.fixed_focal_length:
+        f_new = cfg.init_focal_length
+    elif cfg.use_focal_estimate and scene.has_init_focal(img):
+        f_init = scene.init_focal(img)
+        f_obs = 0.5 * (K[0, 0] + K[1, 1])
+        ratio = f_init / f_obs if f_init > f_obs else f_obs / f_init
+        f_new = f_init if (ratio < 1.4 or cfg.trust_focal_estimate) else f_obs
+    elif scene.has_init_focal(img) and cfg.use_focal_estimate:
+        f_new = scene.init_focal(img)
+    else:
+        f_new = 0.5 * (K[0, 0] + K[1, 1])
+
+    weak = np.nonzero(np.asarray(ver.inliers_weak)[:n])[0]
+    if len(weak) == 0:
+        return False
+    cam0 = np.concatenate([center, np.zeros(3), [f_new], np.zeros(2)])
+    cam, Rn, inl = refine_camera_iterative(
+        scene, img, cam0, R, pts3[weak], projs[weak],
+        adjust_focal=not cfg.fixed_focal_length)
+    width = scene.dims[img][0]
+    if len(inl) < 8 or cam[6] < 0.1 * width:
+        log(f"[BundleInitializeImage] {img}: bad camera "
+            f"({len(inl)} inliers, f={cam[6]:.1f})")
+        return False
+
+    # Connect the inlier keys to their points (src/Bundle.cpp:3238-3247).
+    for i in inl:
+        gi = weak[i]
+        recon.key_extra[img][keys[gi]] = pt_idx[gi]
+        recon.pt_views[pt_idx[gi]].append((cam_slot, keys[gi]))
+    recon.added_order.append(img)
+    recon.cam_R.append(Rn)
+    recon.cam_params.append(cam)
+    log(f"[BundleInitializeImage] {img}: registered with {len(inl)} points, "
+        f"f={cam[6]:.2f}")
+    return True
+
+
+# --------------------------------------------------------------------------
+# Point addition
+# --------------------------------------------------------------------------
+
+def add_all_new_points(recon: Reconstruction, scene: Scene) -> int:
+    """`BundleAdjustAddAllNewPoints` (src/BundleAdd.cpp:193-427): gather
+    sub-tracks visible in >= 2 registered cameras, gate by ray angle >= 2°,
+    triangulate, gate by reprojection <= 16 px and cheirality."""
+    cfg = scene.config
+    # Gather candidate sub-tracks.
+    cand: Dict[int, List[Tuple[int, int]]] = {}
+    for slot, img in enumerate(recon.added_order):
+        for tr, key in zip(scene.visible_points[img],
+                           scene.visible_keys[img]):
+            if recon.track_extra[tr] != -1:
+                continue          # already a point
+            if recon.key_extra[img].get(key, -1) != -1:
+                continue          # outlier (-2) or already connected
+            cand.setdefault(tr, []).append((slot, key))
+    tracks = [(tr, views) for tr, views in cand.items()
+              if len(views) >= max(2, cfg.min_track_views)]
+    if not tracks:
+        return 0
+
+    T = len(tracks)
+    M = _round_up(max(len(v) for _, v in tracks), 4)
+    xy = np.zeros((T, M, 2))
+    fs = np.ones((T, M))
+    ks = np.zeros((T, M, 2))
+    Rs = np.broadcast_to(np.eye(3), (T, M, 3, 3)).copy()
+    cs = np.zeros((T, M, 3))
+    mask = np.zeros((T, M), dtype=bool)
+    for ti, (tr, views) in enumerate(tracks):
+        for vi, (slot, key) in enumerate(views):
+            img = recon.added_order[slot]
+            xy[ti, vi] = scene.key_xy[img][key]
+            fs[ti, vi] = recon.cam_params[slot][6]
+            ks[ti, vi] = recon.cam_params[slot][7:9]
+            Rs[ti, vi] = recon.cam_R[slot]
+            cs[ti, vi] = recon.cam_params[slot][0:3]
+            mask[ti, vi] = True
+
+    # Ray-angle conditioning (src/BundleAdd.cpp:272-337): max pairwise
+    # angle >= ray_angle_threshold.
+    rays = np.zeros((T, M, 3))
+    for ti in range(T):
+        for vi in range(M):
+            if mask[ti, vi]:
+                rays[ti, vi] = np.asarray(ray_directions(
+                    jnp.asarray(xy[ti, vi]), fs[ti, vi],
+                    jnp.asarray(Rs[ti, vi])))
+    norms = np.linalg.norm(rays, axis=2, keepdims=True)
+    norms[norms == 0] = 1.0
+    rn = rays / norms
+    dots = np.einsum("tmi,tni->tmn", rn, rn)
+    pair_mask = mask[:, :, None] & mask[:, None, :]
+    angles = np.degrees(np.arccos(np.clip(dots, -1 + 1e-8, 1 - 1e-8)))
+    angles = np.where(pair_mask, angles, 0.0)
+    max_angle = angles.max(axis=(1, 2))
+    conditioned = max_angle >= cfg.ray_angle_threshold
+
+    # Triangulate all candidates at once.
+    X, err = triangulate_tracks_pixels(
+        jnp.asarray(xy), jnp.asarray(fs), jnp.asarray(ks), jnp.asarray(Rs),
+        jnp.asarray(cs), jnp.asarray(mask))
+    X = np.asarray(X)
+    err = np.asarray(err)
+
+    # Cheirality for every view (src/BundleAdd.cpp:359-378).
+    q = np.einsum("tmij,tmj->tmi", Rs, X[:, None, :] - cs)
+    in_front = np.where(mask, q[:, :, 2] < 0.0, True).all(axis=1)
+
+    good = conditioned & np.isfinite(err) & \
+        (err <= ADD_REPROJECTION_ERROR) & in_front
+    n_added = 0
+    for ti, (tr, views) in enumerate(tracks):
+        if not good[ti]:
+            continue
+        pt_idx = len(recon.points)
+        recon.points.append(X[ti])
+        img0 = recon.added_order[views[0][0]]
+        recon.colors.append(scene.color_of_key(img0, views[0][1]))
+        recon.pt_views.append(list(views))
+        recon.track_extra[tr] = pt_idx
+        for (slot, key) in views:
+            recon.key_extra[recon.added_order[slot]][key] = pt_idx
+        n_added += 1
+    log(f"[AddAllNewPoints] Added {n_added} / {T} candidate tracks "
+        f"(ill-conditioned {int((~conditioned).sum())}, "
+        f"high-reproj {int((err > ADD_REPROJECTION_ERROR).sum())}, "
+        f"behind {int((~in_front).sum())})")
+    return n_added
+
+
+def remove_bad_points(recon: Reconstruction, scene: Scene) -> int:
+    """`RemoveBadPointsAndCameras` (src/Bundle.cpp:4190-4261): drop points
+    whose max pairwise ray angle (point->camera-center rays) is below
+    0.5·ray_angle_threshold."""
+    cfg = scene.config
+    num_pruned = 0
+    for p in range(len(recon.points)):
+        views = recon.pt_views[p]
+        if len(views) == 0:
+            continue
+        pos = recon.points[p]
+        max_angle = 0.0
+        for a in range(len(views)):
+            ra = pos - recon.cam_params[views[a][0]][0:3]
+            na = np.linalg.norm(ra)
+            if na == 0:
+                continue
+            ra = ra / na
+            for b in range(a + 1, len(views)):
+                rb = pos - recon.cam_params[views[b][0]][0:3]
+                nb = np.linalg.norm(rb)
+                if nb == 0:
+                    continue
+                rb = rb / nb
+                ang = np.degrees(np.arccos(np.clip(ra @ rb, -1 + 1e-8,
+                                                   1 - 1e-8)))
+                max_angle = max(max_angle, ang)
+        if max_angle < 0.5 * cfg.ray_angle_threshold:
+            for (slot, key) in views:
+                recon.key_extra[recon.added_order[slot]][key] = -1
+            recon.pt_views[p] = []
+            recon.colors[p] = np.array([0.0, 0.0, 255.0])
+            num_pruned += 1
+    log(f"[RemoveBadPointsAndCameras] Pruned {num_pruned} points")
+    return num_pruned
+
+
+# --------------------------------------------------------------------------
+# Output
+# --------------------------------------------------------------------------
+
+def to_bundle_file(recon: Reconstruction, scene: Scene) -> BundleFile:
+    """Final scene -> BundleFile (DumpOutputFile, src/BundleIO.cpp:730-875)."""
+    cams = []
+    slot_of = {img: s for s, img in enumerate(recon.added_order)}
+    for i in range(scene.num_images):
+        s = slot_of.get(i)
+        if s is None:
+            cams.append(BundleCamera(f=0.0, k1=0.0, k2=0.0,
+                                     R=np.zeros((3, 3)), t=np.zeros(3)))
+        else:
+            cp = recon.cam_params[s]
+            R = recon.cam_R[s]
+            cams.append(BundleCamera(
+                f=float(cp[6]), k1=float(cp[7]), k2=float(cp[8]),
+                R=R.copy(), t=-R @ cp[0:3]))
+    pts = []
+    for p in range(len(recon.points)):
+        views = recon.pt_views[p]
+        if len(views) == 0:
+            continue
+        v = np.zeros((len(views), 4))
+        for k, (slot, key) in enumerate(views):
+            img = recon.added_order[slot]
+            v[k] = [img, key, scene.key_xy[img][key][0],
+                    scene.key_xy[img][key][1]]
+        pts.append(BundlePoint(pos=recon.points[p].copy(),
+                               color=recon.colors[p].copy(), views=v))
+    return BundleFile(cameras=cams, points=pts)
+
+
+def dump_round(recon: Reconstruction, scene: Scene, out_dir: str,
+               round_id: int) -> None:
+    cfg = scene.config
+    os.makedirs(out_dir, exist_ok=True)
+    if cfg.output_all and cfg.bundle_output_base:
+        path = os.path.join(out_dir,
+                            f"{cfg.bundle_output_base}{round_id:03d}.out")
+        write_bundle_file(path, to_bundle_file(recon, scene))
+    live = [p for p in range(len(recon.points)) if recon.pt_views[p]]
+    if live:
+        write_points_ply(
+            os.path.join(out_dir, f"points{round_id:03d}.ply"),
+            np.stack([recon.points[p] for p in live]),
+            np.stack([recon.colors[p] for p in live]),
+            np.stack(recon.cam_R),
+            np.stack([c[0:3] for c in recon.cam_params]))
+
+
+# --------------------------------------------------------------------------
+# Main driver
+# --------------------------------------------------------------------------
+
+def bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
+                       seed: int = 0) -> Reconstruction:
+    """The full incremental loop (`BundleAdjustFast`,
+    src/BundleFast.cpp:37-526)."""
+    cfg = scene.config
+    i_best, j_best = pick_initial_pair(scene, True)
+    log(f"[BundleAdjust] Initial pair: {i_best}, {j_best}")
+    recon = setup_initial_pair(scene, i_best, j_best, seed=seed)
+    run_sfm(recon, scene)
+    if out_dir:
+        dump_round(recon, scene, out_dir, recon.num_cameras)
+
+    round_id = 0
+    while recon.num_cameras < scene.num_images:
+        counts = find_candidate_images(recon, scene)
+        if not counts:
+            break
+        max_matches = max(counts.values())
+        if max_matches < cfg.min_max_matches:
+            log(f"[BundleAdjust] No more connections (max {max_matches})")
+            break
+        n_needed = int(round(0.75 * max_matches))
+        if cfg.num_matches_add_camera > 0:
+            n_needed = min(n_needed, cfg.num_matches_add_camera)
+        batch_imgs = [i for i, c in counts.items() if c >= n_needed]
+        log(f"[BundleAdjustFast] Registering {len(batch_imgs)} images "
+            f"(>= {n_needed} matches)")
+        added_any = False
+        for img in batch_imgs:
+            ok = bundle_initialize_image(
+                recon, scene, img, recon.num_cameras, seed=seed + 31 * img)
+            if ok:
+                added_any = True
+            else:
+                scene.ignore_in_bundle[img] = True
+        if not added_any:
+            round_id += 1
+            continue
+        if not cfg.skip_add_points:
+            add_all_new_points(recon, scene)
+        if not cfg.skip_full_bundle:
+            run_sfm(recon, scene)
+            remove_bad_points(recon, scene)
+        if out_dir:
+            dump_round(recon, scene, out_dir, recon.num_cameras)
+        round_id += 1
+
+    if out_dir and cfg.bundle_output_file:
+        write_bundle_file(os.path.join(out_dir, cfg.bundle_output_file),
+                          to_bundle_file(recon, scene))
+    log(f"[BundleAdjust] Done: {recon.num_cameras} cameras, "
+        f"{sum(1 for v in recon.pt_views if v)} points")
+    return recon

@@ -1,0 +1,165 @@
+"""Pairwise geometric verification — the `ComputeGeometricConstraints` stage
+(`src/BundlerGeometry.cpp:99-194`): per-pair F-matrix RANSAC filtering of
+match lists, homography RANSAC scoring, symmetric lists, then tracks.
+
+TPU shape: pairs are padded to a common size and the RANSAC kernels are
+vmapped over the pair batch — every hypothesis of every pair scores at once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundler_sfm_tpu.config import BundlerConfig
+from bundler_sfm_tpu.ops.fmatrix import estimate_fmatrix_ransac
+from bundler_sfm_tpu.ops.homography import estimate_homography_ransac
+from bundler_sfm_tpu.ops.matching import symmetrize
+from bundler_sfm_tpu.pipeline.scene import Scene, TransformInfo
+from bundler_sfm_tpu.pipeline.tracks import build_tracks, tracks_to_image_tables
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("num_rounds",))
+def _fmatrix_batch(keys, x1, x2, n_valid, threshold, num_rounds):
+    def one(key, a, b, n):
+        return estimate_fmatrix_ransac(key, a, b, n, threshold,
+                                       num_rounds=num_rounds)
+    return jax.vmap(one)(keys, x1, x2, n_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("num_rounds",))
+def _homography_batch(keys, x1, x2, n_valid, threshold, num_rounds):
+    def one(key, a, b, n):
+        return estimate_homography_ransac(key, a, b, n, threshold,
+                                          num_rounds=num_rounds)
+    return jax.vmap(one)(keys, x1, x2, n_valid)
+
+
+def _batch_pairs(scene: Scene, pairs, pad: int):
+    """Stack per-pair correspondence coords, padded to `pad`."""
+    B = len(pairs)
+    x1 = np.zeros((B, pad, 2))
+    x2 = np.zeros((B, pad, 2))
+    n = np.zeros(B, dtype=np.int32)
+    for b, (i, j) in enumerate(pairs):
+        m = scene.matches[(i, j)]
+        cnt = min(len(m), pad)
+        x1[b, :cnt] = scene.key_xy[i][m[:cnt, 0]]
+        x2[b, :cnt] = scene.key_xy[j][m[:cnt, 1]]
+        n[b] = cnt
+    return jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(n)
+
+
+def compute_epipolar_geometry(scene: Scene, seed: int = 0,
+                              batch: int = 16) -> None:
+    """F-RANSAC every matched pair; filter match lists to inliers; drop pairs
+    with < min_num_feat_matches inliers (`ComputeEpipolarGeometry`,
+    `src/BundlerGeometry.cpp:330-439`; removeBadMatches=True on this path,
+    `:142`)."""
+    cfg = scene.config
+    pairs = sorted(scene.matches.keys())
+    if not pairs:
+        return
+    # Reference requires >= 20 matches to even try (src/Epipolar.cpp:127).
+    todo = [p for p in pairs if len(scene.matches[p]) >= 20]
+    drop = [p for p in pairs if len(scene.matches[p]) < 20]
+    pad_all = _round_up(max((len(scene.matches[p]) for p in todo),
+                            default=8), 64)
+    base_key = jax.random.PRNGKey(seed)
+    for start in range(0, len(todo), batch):
+        chunk = todo[start:start + batch]
+        x1, x2, n = _batch_pairs(scene, chunk, pad_all)
+        if len(chunk) < batch:
+            padb = batch - len(chunk)
+            x1 = jnp.concatenate([x1, jnp.zeros((padb, pad_all, 2))])
+            x2 = jnp.concatenate([x2, jnp.zeros((padb, pad_all, 2))])
+            n = jnp.concatenate([n, jnp.zeros(padb, jnp.int32)])
+        keys = jax.random.split(jax.random.fold_in(base_key, start), batch)
+        F, inl, cnt = _fmatrix_batch(keys, x1, x2, n,
+                                     jnp.float64(cfg.fmatrix_threshold),
+                                     cfg.fmatrix_rounds)
+        F = np.asarray(F)
+        inl = np.asarray(inl)
+        cnt = np.asarray(cnt)
+        for b, (i, j) in enumerate(chunk):
+            m = scene.matches[(i, j)]
+            keep = inl[b, :len(m)]
+            kept = m[keep]
+            if int(cnt[b]) >= cfg.min_num_feat_matches:
+                scene.matches[(i, j)] = kept
+                ti = scene.transforms.setdefault((i, j), TransformInfo())
+                ti.fmatrix = F[b]
+                tj = scene.transforms.setdefault((j, i), TransformInfo())
+                tj.fmatrix = F[b].T
+            else:
+                drop.append((i, j))
+    for p in drop:
+        scene.matches.pop(p, None)
+        scene.transforms.pop(p, None)
+        scene.transforms.pop((p[1], p[0]), None)
+
+
+def compute_transforms(scene: Scene, seed: int = 1, batch: int = 16) -> None:
+    """Homography per surviving pair; records inlier count/ratio for initial
+    -pair scoring (`ComputeTransform`, `src/BundlerGeometry.cpp:197-263`;
+    called with removeBadMatches=false, `:146`; MIN_INLIERS=10)."""
+    cfg = scene.config
+    pairs = sorted(scene.matches.keys())
+    todo = [p for p in pairs if len(scene.matches[p]) >= 4]
+    if not todo:
+        return
+    pad_all = _round_up(max(len(scene.matches[p]) for p in todo), 64)
+    base_key = jax.random.PRNGKey(seed + 7777)
+    for start in range(0, len(todo), batch):
+        chunk = todo[start:start + batch]
+        x1, x2, n = _batch_pairs(scene, chunk, pad_all)
+        if len(chunk) < batch:
+            padb = batch - len(chunk)
+            x1 = jnp.concatenate([x1, jnp.zeros((padb, pad_all, 2))])
+            x2 = jnp.concatenate([x2, jnp.zeros((padb, pad_all, 2))])
+            n = jnp.concatenate([n, jnp.zeros(padb, jnp.int32)])
+        keys = jax.random.split(jax.random.fold_in(base_key, start), batch)
+        H, inl, cnt = _homography_batch(keys, x1, x2, n,
+                                        jnp.float64(cfg.homography_threshold),
+                                        cfg.homography_rounds)
+        H = np.asarray(H)
+        cnt = np.asarray(cnt)
+        for b, (i, j) in enumerate(chunk):
+            m = scene.matches[(i, j)]
+            num_inl = int(cnt[b])
+            if num_inl >= 10:
+                ti = scene.transforms.setdefault((i, j), TransformInfo())
+                ti.hmatrix = H[b]
+                ti.num_inliers = num_inl
+                ti.inlier_ratio = num_inl / max(len(m), 1)
+
+
+def compute_geometric_constraints(scene: Scene, seed: int = 0) -> None:
+    """The full verification stage (`ComputeGeometricConstraints`,
+    `src/BundlerGeometry.cpp:99-194`): F filter → H score → symmetric lists
+    → tracks → per-image track tables."""
+    cfg = scene.config
+    if not cfg.skip_fmatrix:
+        compute_epipolar_geometry(scene, seed=seed)
+    if not cfg.skip_homographies:
+        compute_transforms(scene, seed=seed)
+    scene.matches = symmetrize(scene.matches)
+    scene.tracks = build_tracks(scene.matches, scene.num_images)
+    # Filter track length like the reference's min/max_track_views gates.
+    scene.tracks = [t for t in scene.tracks
+                    if cfg.min_track_views <= len(t) <= cfg.max_track_views]
+    vp, vk, kt = tracks_to_image_tables(scene.tracks, scene.num_images)
+    scene.visible_points = vp
+    scene.visible_keys = vk
+    scene.key_track = kt
+    # Reference clears raw match lists after track building
+    # (`RemoveAllMatches`, BundlerGeometry.cpp:158) — tracks are the truth now.
+    scene.matches = {}

@@ -1,0 +1,79 @@
+"""Golden end-to-end test: reconstruct the kermit dataset from raw JPEGs
+(own SIFT + MXU matching + full incremental pipeline) and compare the
+reconstruction quality to the reference's shipped result
+(`examples/kermit/results.example/bundle.out`, SURVEY.md §4/§6).
+
+Slow (~10 min on CPU) — run explicitly: pytest tests/test_kermit_golden.py
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+KERMIT_DIR = "/root/reference/examples/kermit"
+GOLDEN = os.path.join(KERMIT_DIR, "results.example/bundle.out")
+
+
+@pytest.mark.slow
+@pytest.mark.kermit
+def test_kermit_end_to_end(tmp_path):
+    from bundler_sfm_tpu.config import default_pipeline_config
+    from bundler_sfm_tpu.features.sift import extract_sift, load_grayscale
+    from bundler_sfm_tpu.io import read_bundle_file
+    from bundler_sfm_tpu.io.listfile import ImageEntry
+    from bundler_sfm_tpu.io.keyfile import keys_to_centered
+    from bundler_sfm_tpu.ops.matching import match_pairs_batched
+    from bundler_sfm_tpu.pipeline.scene import Scene
+    from bundler_sfm_tpu.pipeline.verify import compute_geometric_constraints
+    from bundler_sfm_tpu.pipeline.incremental import (
+        bundle_adjust_fast, to_bundle_file, run_sfm,
+    )
+
+    golden = read_bundle_file(GOLDEN)
+    images = sorted(f for f in os.listdir(KERMIT_DIR) if f.endswith(".jpg"))
+    assert len(images) == 11
+
+    # Focal prior from the golden metadata (extract_focal.pl values are not
+    # recomputable here without the full CCD database; use the canonical
+    # kermit focal ~ 660 px for 640x480 as the EXIF estimate).
+    init_focal = 660.0
+    infos, descs, dims = [], [], []
+    for name in images:
+        gray = load_grayscale(os.path.join(KERMIT_DIR, name))
+        info, desc = extract_sift(gray, max_keys_total=2048)
+        infos.append(info)
+        descs.append(desc)
+        dims.append((gray.shape[1], gray.shape[0]))
+
+    pairs = [(i, j) for i in range(11) for j in range(i + 1, 11)]
+    matches = match_pairs_batched(descs, pairs, min_matches=16)
+    assert len(matches) >= 20, f"only {len(matches)} verified pairs"
+
+    cfg = default_pipeline_config(fmatrix_rounds=1024, homography_rounds=128,
+                                  projection_rounds=2048, sfm_max_iters=100)
+    entries = [ImageEntry(n, init_focal=init_focal) for n in images]
+    key_xy = [keys_to_centered(info, w, h)[:, :2].astype(np.float64)
+              for info, (w, h) in zip(infos, dims)]
+    scene = Scene(config=cfg, entries=entries, dims=dims, key_xy=key_xy,
+                  matches=matches)
+    compute_geometric_constraints(scene, seed=0)
+    assert len(scene.tracks) > 300
+
+    recon = bundle_adjust_fast(scene, out_dir=str(tmp_path), seed=0)
+    n_cams = recon.num_cameras
+    n_pts = sum(1 for v in recon.pt_views if v)
+    # Golden run registered 9/11 cameras with 634 points.
+    assert n_cams >= 8, f"registered only {n_cams} cameras"
+    assert n_pts >= 300, f"only {n_pts} points"
+
+    # Mean reprojection error of the final model should be at the golden
+    # bundle's quality level (~0.5 px RMS).
+    err = run_sfm(recon, scene, remove_outliers=False, verbose=False)
+    assert err < 1.5, f"mean reprojection error {err}"
+
+    # Focal lengths in the golden ballpark (golden cam0: 688).  One weakly
+    # observed camera (few dozen obs) may stray; require the bulk in range.
+    f_est = [recon.cam_params[s][6] for s in range(n_cams)]
+    in_range = sum(1 for f in f_est if 550 < f < 850)
+    assert in_range >= n_cams - 1, f_est

@@ -1,0 +1,106 @@
+"""SPMD tests on the 8-device virtual CPU mesh (conftest sets
+xla_force_host_platform_device_count=8 — the standard way to test sharding
+without a pod, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests.synthetic import Scene
+from tests.test_matching import brute_force_matches, make_descs
+
+from bundler_sfm_tpu.ops.ba import CNP, build_problem, run_ba
+from bundler_sfm_tpu.ops.matching import prune_double_matches
+from bundler_sfm_tpu.ops.rotations import rodrigues
+from bundler_sfm_tpu.parallel.mesh import make_mesh
+from bundler_sfm_tpu.parallel.ba_sharded import (
+    run_ba_sharded, shard_problem, unshard_points,
+)
+from bundler_sfm_tpu.parallel.matching_sharded import match_pairs_sharded
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matching_matches_single_device(rng):
+    mesh = make_mesh()
+    base = make_descs(rng, 100)
+    descs = [make_descs(rng, 90 + 7 * i, seed_descs=base, n_shared=40)
+             for i in range(6)]
+    pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    got = match_pairs_sharded(descs, pairs, mesh, block=128, min_matches=0,
+                              pairs_per_device=2)
+    for (i, j) in pairs:
+        want = prune_double_matches(brute_force_matches(descs[i], descs[j]))
+        if len(want) == 0:
+            assert (i, j) not in got or len(got[(i, j)]) == 0
+        else:
+            assert np.array_equal(got[(i, j)], want), (i, j)
+
+
+def _make_ba_inputs(rng, num_cams=4, num_pts=100):
+    sc = Scene(rng, num_cams=num_cams, num_pts=num_pts)
+    cam0 = np.zeros((num_cams, CNP))
+    R0 = np.zeros((num_cams, 3, 3))
+    for i in range(num_cams):
+        w = rng.normal(size=3) * 0.02
+        R0[i] = np.asarray(rodrigues(jnp.asarray(w))) @ sc.R[i]
+        cam0[i, 0:3] = sc.centers[i] + rng.normal(size=3) * 0.02
+        cam0[i, 6] = sc.f[i]
+    pts0 = sc.points + rng.normal(size=sc.points.shape) * 0.03
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for c in range(num_cams):
+        for p in range(num_pts):
+            obs_cam.append(c)
+            obs_pt.append(p)
+            obs_xy.append(sc.obs[c][p])
+    return (sc, R0, cam0, pts0, np.array(obs_cam, np.int32),
+            np.array(obs_pt, np.int32), np.array(obs_xy))
+
+
+def test_sharded_ba_matches_single_device(rng):
+    mesh = make_mesh()
+    sc, R0, cam0, pts0, oc, op, oxy = _make_ba_inputs(rng)
+    num_pts = len(pts0)
+
+    prob1 = build_problem(R0, cam0, pts0, oc, op, oxy,
+                          est_focal=True, est_distortion=False)
+    res1 = run_ba(prob1, max_iters=40)
+
+    probN = shard_problem(R0, cam0, pts0, oc, op, oxy, num_shards=8,
+                          est_focal=True, est_distortion=False)
+    resN = run_ba_sharded(probN, mesh, max_iters=40)
+
+    # Both converge to (numerically) zero cost on clean synthetic data.
+    assert float(res1.cost) < 1e-6
+    assert float(resN.cost) < 1e-6
+    # Same camera solution.
+    assert np.allclose(np.asarray(resN.cam)[:4], np.asarray(res1.cam)[:4],
+                       atol=1e-5)
+    # Point shards reassemble to the single-device solution.
+    ptsN = unshard_points(np.asarray(resN.pts), num_pts)
+    assert np.allclose(ptsN, np.asarray(res1.pts)[:num_pts], atol=1e-5)
+
+
+def test_sharded_ba_with_constraints(rng):
+    mesh = make_mesh()
+    sc, R0, cam0, pts0, oc, op, oxy = _make_ba_inputs(rng, num_cams=3)
+    C = 3
+    cc = np.zeros((C, CNP)); cc[:, 6] = 1.0
+    ct = np.zeros((C, CNP)); ct[:, 6] = 700.0
+    cw = np.zeros((C, CNP)); cw[:, 6] = 1e5
+    prob1 = build_problem(R0, cam0, pts0, oc, op, oxy,
+                          est_focal=True, est_distortion=False,
+                          cam_constrained=cc, cam_constraints=ct,
+                          cam_weights=cw)
+    res1 = run_ba(prob1, max_iters=30)
+    probN = shard_problem(R0, cam0, pts0, oc, op, oxy, num_shards=8,
+                          est_focal=True, est_distortion=False,
+                          cam_constrained=cc, cam_constraints=ct,
+                          cam_weights=cw)
+    resN = run_ba_sharded(probN, mesh, max_iters=30)
+    # The 1/D weight scaling reconstructs the constraint exactly: same focal.
+    assert np.allclose(np.asarray(resN.cam)[:3, 6],
+                       np.asarray(res1.cam)[:3, 6], atol=1e-6)

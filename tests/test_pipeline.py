@@ -1,0 +1,136 @@
+import numpy as np
+import pytest
+
+from tests.synthetic import Scene as SynScene, project
+
+from bundler_sfm_tpu.config import BundlerConfig, default_pipeline_config
+from bundler_sfm_tpu.io.listfile import ImageEntry
+from bundler_sfm_tpu.pipeline.scene import Scene
+from bundler_sfm_tpu.pipeline.tracks import (
+    build_tracks, matches_from_tracks, tracks_to_image_tables,
+)
+from bundler_sfm_tpu.pipeline.verify import compute_geometric_constraints
+from bundler_sfm_tpu.pipeline.incremental import bundle_adjust_fast
+from bundler_sfm_tpu.ops.matching import symmetrize
+
+
+def test_build_tracks_basic():
+    # Images 0-1-2 chained: key 5 in 0 <-> key 7 in 1 <-> key 9 in 2.
+    matches = {
+        (0, 1): np.array([[5, 7], [6, 8]], dtype=np.int32),
+        (1, 2): np.array([[7, 9]], dtype=np.int32),
+    }
+    matches = symmetrize(matches)
+    tracks = build_tracks(matches, 3)
+    tracks_sorted = sorted(tracks, key=len, reverse=True)
+    assert sorted(tracks_sorted[0]) == [(0, 5), (1, 7), (2, 9)]
+    assert sorted(tracks_sorted[1]) == [(0, 6), (1, 8)]
+
+
+def test_build_tracks_one_key_per_image():
+    # A track that would revisit image 0 through a cycle keeps only the
+    # first image-0 key (img_marked rule, ComputeTracks.cpp:171).
+    matches = {
+        (0, 1): np.array([[1, 1]], dtype=np.int32),
+        (1, 0): np.array([[1, 1], [2, 3]], dtype=np.int32),
+        (1, 2): np.array([[1, 1]], dtype=np.int32),
+        (2, 0): np.array([[1, 3]], dtype=np.int32),
+        (0, 2): np.array([[3, 1]], dtype=np.int32),
+    }
+    tracks = build_tracks(matches, 3)
+    for t in tracks:
+        imgs = [i for i, _ in t]
+        assert len(imgs) == len(set(imgs))
+
+
+def test_matches_from_tracks():
+    tracks = [[(0, 5), (1, 7), (2, 9)], [(0, 6), (2, 8)]]
+    m = matches_from_tracks(tracks, 0, 2)
+    assert sorted(map(tuple, m)) == [(5, 9), (6, 8)]
+    vp, vk, kt = tracks_to_image_tables(tracks, 3)
+    assert vp[0] == [0, 1]
+    assert vk[0] == [5, 6]
+    assert kt[2][9] == 0 and kt[2][8] == 1
+
+
+def make_pipeline_scene(rng, num_cams=6, num_pts=250, f=700.0,
+                        outlier_frac=0.05, noise=0.3, seed_cfg=None):
+    """Synthetic multi-view scene shaped like real pipeline input: per-image
+    keys are a permutation of point observations plus distractor keys."""
+    syn = SynScene(rng, num_cams=num_cams, num_pts=num_pts, f=f, noise=noise)
+    W, H = 1024, 768
+    key_xy = []
+    keymap = []  # per image: point idx -> key idx
+    for c in range(num_cams):
+        xy = syn.obs[c]
+        # Keep only points inside the frame.
+        inside = (np.abs(xy[:, 0]) < W / 2 - 4) & (np.abs(xy[:, 1]) < H / 2 - 4)
+        n_extra = 40
+        extra = rng.uniform(-300, 300, (n_extra, 2))
+        coords = np.concatenate([xy, extra])
+        perm = rng.permutation(len(coords))
+        inv = np.argsort(perm)
+        key_xy.append(coords[perm])
+        keymap.append({p: int(inv[p]) for p in range(num_pts) if inside[p]})
+    matches = {}
+    for i in range(num_cams):
+        for j in range(i + 1, num_cams):
+            shared = [p for p in keymap[i] if p in keymap[j]]
+            m = np.array([[keymap[i][p], keymap[j][p]] for p in shared],
+                         dtype=np.int32)
+            # Inject outlier matches.
+            n_bad = int(len(m) * outlier_frac)
+            if n_bad:
+                bad = np.stack([
+                    rng.integers(0, len(key_xy[i]), n_bad),
+                    rng.integers(0, len(key_xy[j]), n_bad)], axis=1
+                ).astype(np.int32)
+                m = np.concatenate([m, bad])
+            matches[(i, j)] = m
+    cfg = seed_cfg or default_pipeline_config(
+        fmatrix_rounds=512, homography_rounds=128, projection_rounds=1024,
+        sfm_max_iters=60)
+    entries = [ImageEntry(f"img{c}.jpg", init_focal=f) for c in range(num_cams)]
+    scene = Scene(config=cfg, entries=entries,
+                  dims=[(W, H)] * num_cams, key_xy=key_xy, matches=matches)
+    return scene, syn
+
+
+def similarity_align(A, B):
+    """Horn alignment B ≈ s R A + t; returns residual rms."""
+    muA, muB = A.mean(0), B.mean(0)
+    A0, B0 = A - muA, B - muB
+    U, S, Vt = np.linalg.svd(B0.T @ A0)
+    D = np.eye(3)
+    D[2, 2] = np.sign(np.linalg.det(U @ Vt))
+    R = U @ D @ Vt
+    s = (S * np.diag(D)).sum() / (A0 ** 2).sum()
+    res = B0 - s * A0 @ R.T
+    return np.sqrt((res ** 2).sum(1).mean()) / max(
+        np.sqrt((B0 ** 2).sum(1).mean()), 1e-12)
+
+
+@pytest.mark.slow
+def test_end_to_end_synthetic(rng, tmp_path):
+    scene, syn = make_pipeline_scene(rng)
+    compute_geometric_constraints(scene, seed=3)
+    assert len(scene.tracks) > 150
+    recon = bundle_adjust_fast(scene, out_dir=str(tmp_path), seed=5)
+    # All cameras registered.
+    assert recon.num_cameras == 6
+    n_pts = sum(1 for v in recon.pt_views if v)
+    assert n_pts > 120
+    # Camera centers match ground truth up to similarity.
+    est = np.stack([recon.cam_params[s][0:3] for s in range(6)])
+    gt = np.stack([syn.centers[i] for i in recon.added_order])
+    rel = similarity_align(est, gt)
+    assert rel < 0.02, f"relative center error {rel}"
+    # Focals recovered.
+    for s in range(6):
+        assert recon.cam_params[s][6] == pytest.approx(700.0, rel=0.05)
+    # Output files written.
+    assert (tmp_path / "bundle.out").exists()
+    from bundler_sfm_tpu.io import read_bundle_file
+    bf = read_bundle_file(str(tmp_path / "bundle.out"))
+    assert bf.num_registered == 6
+    assert len(bf.points) == n_pts
