@@ -222,15 +222,41 @@ def main(argv: Optional[List[str]] = None) -> int:
     scene = scene_from_args(args)
     print(f"[bundler] {scene.num_images} images, "
           f"{len(scene.matches)} matched pairs")
-    if not args.run_bundle:
+    if not (args.run_bundle or args.rerun_bundle or args.bundle):
         print("[bundler] --run_bundle not given; nothing to do")
         return 0
+    from bundler_sfm_tpu.io.bundlefile import write_bundle_file
     from bundler_sfm_tpu.pipeline.verify import compute_geometric_constraints
-    from bundler_sfm_tpu.pipeline.incremental import bundle_adjust_fast
+    from bundler_sfm_tpu.pipeline.incremental import (
+        bundle_adjust_fast, dump_round, run_sfm, to_bundle_file,
+    )
 
     os.makedirs(args.output_dir, exist_ok=True)
-    compute_geometric_constraints(scene, seed=args.seed)
+    # constraints.txt checkpoint, like the reference (BundlerGeometry.cpp:105).
+    compute_geometric_constraints(scene, seed=args.seed,
+                                  cache_path="constraints.txt")
     print(f"[bundler] {len(scene.tracks)} tracks")
+
+    if args.bundle:
+        # Resume path: --bundle file [+ --rerun_bundle to reoptimize,
+        # then continue adding any unregistered images].
+        from bundler_sfm_tpu.io.bundlefile import read_bundle_file
+        from bundler_sfm_tpu.pipeline.resume import (
+            continue_reconstruction, resume_from_bundle,
+        )
+        bundle_in = read_bundle_file(args.bundle)
+        recon = resume_from_bundle(scene, bundle_in)
+        if args.rerun_bundle:
+            run_sfm(recon, scene)
+        recon = continue_reconstruction(scene, recon,
+                                        out_dir=args.output_dir,
+                                        seed=args.seed)
+        out = os.path.join(args.output_dir,
+                           scene.config.bundle_output_file or "bundle.out")
+        write_bundle_file(out, to_bundle_file(recon, scene))
+        print(f"[bundler] wrote {out}")
+        return 0
+
     bundle_adjust_fast(scene, out_dir=args.output_dir, seed=args.seed)
     return 0
 

@@ -1,0 +1,106 @@
+"""Localize a new image against an existing model.
+
+The role of `BundleRegisterImage` (`src/Bundle.cpp:3692-4188`): coalesce one
+descriptor per 3D point from its member keys (the averaging of
+`BundlerGeometry.cpp:443-622`), 2-NN match the new image's descriptors
+against them on the MXU (`MatchKeysToPoints`, `BundlerGeometry.cpp:624-750`),
+then DLT-RANSAC resection + iterative refinement — the same estimator stack
+as in-loop registration.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundler_sfm_tpu.config import BundlerConfig
+from bundler_sfm_tpu.io.bundlefile import BundleFile
+from bundler_sfm_tpu.ops.matching import match_pair, prune_double_matches
+from bundler_sfm_tpu.ops.resection import find_and_verify_camera
+from bundler_sfm_tpu.pipeline.incremental import (
+    _bucket, refine_camera_iterative,
+)
+from bundler_sfm_tpu.pipeline.scene import Scene
+
+
+def coalesce_point_descriptors(
+    bundle: BundleFile,
+    key_descs: Sequence[np.ndarray],
+) -> np.ndarray:
+    """Mean descriptor per 3D point over its views' keys (uint8 [P, 128])."""
+    out = np.zeros((len(bundle.points), 128), dtype=np.float64)
+    for pi, p in enumerate(bundle.points):
+        count = 0
+        for v in p.views:
+            img, key = int(v[0]), int(v[1])
+            if img < len(key_descs) and key_descs[img] is not None \
+                    and key < len(key_descs[img]):
+                out[pi] += key_descs[img][key]
+                count += 1
+        if count:
+            out[pi] /= count
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def register_image(
+    bundle: BundleFile,
+    point_descs: np.ndarray,          # [P,128] coalesced descriptors
+    new_desc: np.ndarray,             # [K,128] new image's descriptors
+    new_xy: np.ndarray,               # [K,2] centered coords
+    config: Optional[BundlerConfig] = None,
+    ratio: float = 0.6,
+    seed: int = 0,
+) -> Optional[Dict]:
+    """Estimate the new image's camera.  Returns None on failure, else a
+    dict with R, center, f, k, inliers, matches."""
+    cfg = config or BundlerConfig()
+    matches = prune_double_matches(match_pair(new_desc, point_descs,
+                                              ratio=ratio))
+    if len(matches) < cfg.min_max_matches:
+        return None
+    X = np.stack([bundle.points[int(m[1])].pos for m in matches])
+    x = new_xy[matches[:, 0]]
+    n = len(X)
+    pad = _bucket(n, 64)
+    Xp = np.zeros((pad, 3)); Xp[:n] = X
+    xp = np.zeros((pad, 2)); xp[:n] = x
+    ver = find_and_verify_camera(
+        jax.random.PRNGKey(seed), jnp.asarray(Xp), jnp.asarray(xp),
+        jnp.int32(n), jnp.float64(cfg.projection_estimation_threshold),
+        jnp.float64(16.0 * cfg.projection_estimation_threshold),
+        num_rounds=cfg.projection_rounds)
+    if not bool(ver.ok):
+        return None
+    K = np.asarray(ver.K)
+    R = np.asarray(ver.R)
+    t = np.asarray(ver.t)
+    center = -R.T @ t
+    f0 = 0.5 * (K[0, 0] + K[1, 1])
+    weak = np.nonzero(np.asarray(ver.inliers_weak)[:n])[0]
+    if len(weak) < 8:
+        return None
+    cam0 = np.concatenate([center, np.zeros(3), [f0], np.zeros(2)])
+
+    # Minimal scene shim for the shared refiner.
+    class _Shim:
+        config = cfg
+
+        @staticmethod
+        def has_init_focal(_):
+            return False
+
+        @staticmethod
+        def init_focal(_):
+            return 0.0
+
+    cam, Rn, inl = refine_camera_iterative(
+        _Shim, 0, cam0, R, X[weak], x[weak], adjust_focal=True)
+    if len(inl) < 8:
+        return None
+    return dict(R=Rn, center=cam[0:3], f=float(cam[6]),
+                k=(float(cam[7]), float(cam[8])),
+                num_inliers=len(inl),
+                matches=matches, inlier_idx=weak[inl])

@@ -142,10 +142,23 @@ def compute_transforms(scene: Scene, seed: int = 1, batch: int = 16) -> None:
                 ti.inlier_ratio = num_inl / max(len(m), 1)
 
 
-def compute_geometric_constraints(scene: Scene, seed: int = 0) -> None:
+def compute_geometric_constraints(scene: Scene, seed: int = 0,
+                                  cache_path=None,
+                                  overwrite: bool = False) -> None:
     """The full verification stage (`ComputeGeometricConstraints`,
     `src/BundlerGeometry.cpp:99-194`): F filter → H score → symmetric lists
-    → tracks → per-image track tables."""
+    → tracks → per-image track tables.
+
+    With `cache_path` set, behaves like the reference's constraints.txt
+    checkpoint (`:105-108`): load it if present (unless overwrite), write it
+    after computing."""
+    import os
+    from bundler_sfm_tpu.io.constraints import (
+        read_geometric_constraints, write_geometric_constraints,
+    )
+    if cache_path and not overwrite and os.path.exists(cache_path):
+        read_geometric_constraints(cache_path, scene)
+        return
     cfg = scene.config
     if not cfg.skip_fmatrix:
         compute_epipolar_geometry(scene, seed=seed)
@@ -163,3 +176,5 @@ def compute_geometric_constraints(scene: Scene, seed: int = 0) -> None:
     # Reference clears raw match lists after track building
     # (`RemoveAllMatches`, BundlerGeometry.cpp:158) — tracks are the truth now.
     scene.matches = {}
+    if cache_path:
+        write_geometric_constraints(cache_path, scene)

@@ -1,0 +1,124 @@
+import numpy as np
+import pytest
+
+from tests.synthetic import Scene as SynScene
+from tests.test_pipeline import make_pipeline_scene, similarity_align
+
+from bundler_sfm_tpu.io.constraints import (
+    read_geometric_constraints, write_geometric_constraints,
+    write_pairwise_scores,
+)
+from bundler_sfm_tpu.pipeline.incremental import (
+    bundle_adjust_fast, to_bundle_file, run_sfm,
+)
+from bundler_sfm_tpu.pipeline.resume import (
+    continue_reconstruction, resume_from_bundle,
+)
+from bundler_sfm_tpu.pipeline.register import (
+    coalesce_point_descriptors, register_image,
+)
+from bundler_sfm_tpu.pipeline.verify import compute_geometric_constraints
+
+
+@pytest.mark.slow
+def test_constraints_checkpoint_roundtrip(rng, tmp_path):
+    scene, syn = make_pipeline_scene(rng, num_cams=4, num_pts=150)
+    cache = tmp_path / "constraints.txt"
+    compute_geometric_constraints(scene, seed=1, cache_path=str(cache))
+    assert cache.exists()
+    n_tracks = len(scene.tracks)
+    n_transforms = len(scene.transforms)
+    write_pairwise_scores(str(tmp_path / "pairwise_scores.txt"), scene)
+    assert (tmp_path / "pairwise_scores.txt").read_text().count("\n") > 0
+
+    # Second scene loads from the cache without recomputation.
+    scene2, _ = make_pipeline_scene(np.random.default_rng(0),
+                                    num_cams=4, num_pts=150)
+    compute_geometric_constraints(scene2, seed=999, cache_path=str(cache))
+    assert len(scene2.tracks) == n_tracks
+    assert len(scene2.transforms) == n_transforms
+    assert scene2.tracks == scene.tracks
+    for k, t in scene.transforms.items():
+        t2 = scene2.transforms[k]
+        if t.fmatrix is not None:
+            assert np.allclose(t.fmatrix, t2.fmatrix, rtol=1e-5)
+        assert t.num_inliers == t2.num_inliers
+
+
+@pytest.mark.slow
+def test_resume_and_continue(rng, tmp_path):
+    """Reconstruct with 2 images held out, resume from the bundle file, and
+    extend to all cameras (the --bundle/--add_images path)."""
+    scene, syn = make_pipeline_scene(rng, num_cams=6, num_pts=220)
+    compute_geometric_constraints(scene, seed=3)
+    # Hold out the last two images.
+    scene.ignore_in_bundle[4] = True
+    scene.ignore_in_bundle[5] = True
+    recon = bundle_adjust_fast(scene, seed=5)
+    assert recon.num_cameras == 4
+    bundle = to_bundle_file(recon, scene)
+
+    # Resume in a fresh scene (same tracks).
+    scene2, _ = make_pipeline_scene(np.random.default_rng(0),
+                                    num_cams=6, num_pts=220)
+    compute_geometric_constraints(scene2, seed=3)
+    recon2 = resume_from_bundle(scene2, bundle)
+    assert recon2.num_cameras == 4
+    err = run_sfm(recon2, scene2, remove_outliers=False, verbose=False)
+    assert err < 1.5  # resumed state is consistent
+
+    recon2 = continue_reconstruction(scene2, recon2, seed=7)
+    assert recon2.num_cameras == 6
+    est = np.stack([recon2.cam_params[s][0:3] for s in range(6)])
+    gt = np.stack([syn.centers[i] for i in recon2.added_order])
+    assert similarity_align(est, gt) < 0.02
+
+
+@pytest.mark.slow
+def test_register_image_against_model(rng):
+    """Localize a held-out image against a model built from the others."""
+    scene, syn = make_pipeline_scene(rng, num_cams=6, num_pts=220)
+    # Fabricate per-key descriptors: shared per 3D point + noise, so the
+    # held-out image's keys match the model's coalesced point descriptors.
+    num_pts = 220
+    base = rng.integers(0, 256, (num_pts, 128)).astype(np.int32)
+    key_descs = []
+    for c in range(6):
+        n_keys = len(scene.key_xy[c])
+        d = rng.integers(0, 256, (n_keys, 128)).astype(np.uint8)
+        key_descs.append(d)
+    # Assign the point-derived descriptor to the key that observes it.
+    # Recover key index per (cam, point) from the match construction: the
+    # synthetic scene's keymap is internal, so rebuild from tracks instead.
+    compute_geometric_constraints(scene, seed=3)
+    scene.ignore_in_bundle[5] = True
+    recon = bundle_adjust_fast(scene, seed=5)
+    assert recon.num_cameras == 5
+    bundle = to_bundle_file(recon, scene)
+
+    # Give every key participating in a reconstructed point a descriptor
+    # derived from the point id; image 5's keys get the same (noisy).
+    for p_idx, p in enumerate(bundle.points):
+        for v in p.views:
+            img, key = int(v[0]), int(v[1])
+            key_descs[img][key] = np.clip(
+                base[p_idx % num_pts] + rng.integers(-2, 3, 128), 0, 255)
+    # Build image-5 keys: reuse its observations of the same 3D points via
+    # tracks.
+    for tr, views in enumerate(scene.tracks):
+        pt = recon.track_extra[tr]
+        if pt < 0:
+            continue
+        for img, key in views:
+            if img == 5:
+                key_descs[5][key] = np.clip(
+                    base[pt % num_pts] + rng.integers(-2, 3, 128), 0, 255)
+
+    pdescs = coalesce_point_descriptors(bundle, key_descs)
+    result = register_image(bundle, pdescs, key_descs[5], scene.key_xy[5],
+                            config=scene.config, seed=11)
+    assert result is not None
+    # Compare with ground truth pose of camera 5 (same gauge: recon is in
+    # the synthetic world frame only up to similarity, so check reprojection
+    # instead: localized camera should see many inliers).
+    assert result["num_inliers"] > 30
