@@ -55,8 +55,15 @@ def read_key_file(path: str) -> Tuple[np.ndarray, np.ndarray]:
     path = resolve_key_path(path)
     with _open_maybe_gzip(path) as f:
         data = f.read()
-    # One vectorized pass over all whitespace-separated tokens: the format is
-    # purely numeric after the header.
+    # Prefer the native single-pass tokenizer (native/keyio.cc, ~50x).
+    try:
+        from bundler_sfm_tpu import native
+        parsed = native.parse_key_bytes(data)
+        if parsed is not None:
+            return parsed
+    except Exception:
+        pass
+    # Fallback: one vectorized pass over whitespace-separated tokens.
     vals = np.array(data.split(), dtype=np.float64)
     n = int(vals[0])
     dim = int(vals[1])

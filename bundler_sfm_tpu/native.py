@@ -1,0 +1,126 @@
+"""ctypes bindings to the native C++ runtime components (`native/`).
+
+The reference's I/O and graph layers are C++ (`src/keys2a.cpp`,
+`src/ComputeTracks.cpp`); this module exposes their TPU-framework
+equivalents — a single-pass key-file tokenizer and the BFS track builder —
+with transparent build-on-first-use and pure-Python fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libbundler_native.so")
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.parse_keyfile.restype = ctypes.c_longlong
+        lib.parse_keyfile.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong,
+        ]
+        lib.build_tracks_bfs.restype = ctypes.c_longlong
+        lib.build_tracks_bfs.argtypes = [
+            ctypes.c_int, ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_key_bytes(data: bytes, max_keys: int = 1 << 20
+                    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Parse decompressed key-file bytes natively; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    info = np.empty((max_keys, 4), dtype=np.float32)
+    desc = np.empty((max_keys, 128), dtype=np.uint8)
+    n = lib.parse_keyfile(data, len(data), info.reshape(-1),
+                          desc.reshape(-1), max_keys)
+    if n == -2:
+        return parse_key_bytes(data, max_keys * 4)
+    if n < 0:
+        raise ValueError("malformed key file")
+    return info[:n].copy(), desc[:n].copy()
+
+
+def build_tracks_native(
+    matches: Dict[Tuple[int, int], np.ndarray], num_images: int
+) -> Optional[List[List[Tuple[int, int]]]]:
+    """Native BFS track builder; same contract as
+    `pipeline.tracks.build_tracks` (symmetric, pruned matches).
+    Returns None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    # Node space: unique (img, key) sorted by (img, key).
+    pairs = []
+    for (i, j), m in matches.items():
+        if len(m):
+            pairs.append(np.stack([np.full(len(m), i, np.int64), m[:, 0]],
+                                  axis=1))
+    if not pairs:
+        return []
+    nodes = np.unique(np.concatenate(pairs), axis=0)  # sorted (img, key)
+    node_id = {(int(a), int(b)): k for k, (a, b) in enumerate(nodes)}
+    # Edges (one direction per dict entry; dict is symmetric already).
+    src, dst = [], []
+    for (i, j), m in matches.items():
+        for a, b in m:
+            u = node_id.get((i, int(a)))
+            v = node_id.get((j, int(b)))
+            if u is not None and v is not None:
+                src.append(u)
+                dst.append(v)
+    src = np.array(src, np.int64)
+    dst = np.array(dst, np.int64)
+    n_nodes = len(nodes)
+    order = np.argsort(src, kind="stable")
+    src_s = src[order]
+    dst_s = dst[order]
+    offsets = np.zeros(n_nodes + 1, np.int64)
+    np.add.at(offsets[1:], src_s, 1)
+    offsets = np.cumsum(offsets)
+    out = np.empty(n_nodes, np.int32)
+    n_tracks = lib.build_tracks_bfs(
+        num_images, n_nodes, nodes[:, 0].astype(np.int32),
+        offsets.astype(np.int64), dst_s.astype(np.int64), out)
+    tracks: List[List[Tuple[int, int]]] = [[] for _ in range(n_tracks)]
+    for k in range(n_nodes):
+        t = out[k]
+        if t >= 0:
+            tracks[t].append((int(nodes[k, 0]), int(nodes[k, 1])))
+    return tracks

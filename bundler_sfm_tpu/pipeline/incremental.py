@@ -164,29 +164,23 @@ def setup_initial_pair(scene: Scene, i_best: int, j_best: int,
     solved = False
     if cfg.factor_essential and scene.has_init_focal(i_best) and \
             scene.has_init_focal(j_best) and not cfg.use_constraints:
-        # Reference uses the 5-point solver at 512 rounds with threshold
-        # 0.25·fmatrix_threshold (src/RelativePose.cpp:216-223); we estimate
-        # E with the essential-projected 8-point on the same budget class.
+        # 5-point RANSAC at 512 rounds, threshold 0.25·fmatrix_threshold —
+        # exactly EstimateRelativePose2 (src/RelativePose.cpp:216-223).
+        from bundler_sfm_tpu.ops.fivepoint import estimate_pose_5point
         n = len(pair_matches)
         pad = _bucket(n, 64)
         x1p = np.zeros((pad, 2)); x1p[:n] = x1
         x2p = np.zeros((pad, 2)); x2p[:n] = x2
-        thr = (0.25 * cfg.fmatrix_threshold) ** 2
-        E, F, inl, cnt = estimate_ematrix(
+        R, t, cnt, ok = estimate_pose_5point(
             jax.random.PRNGKey(seed + 101), jnp.asarray(x1p),
-            jnp.asarray(x2p), jnp.int32(n), f0, f1, jnp.float64(thr),
-            num_rounds=2048)
-        if int(cnt) > 0:
-            mask = np.zeros(pad, dtype=bool)
-            mask[:n] = True
-            R, t, ok = decompose_essential_multipt(
-                E, jnp.asarray(-x1p / f0), jnp.asarray(-x2p / f1),
-                jnp.asarray(mask))
-            if bool(ok):
-                R1 = np.asarray(R)
-                c1 = np.asarray(pose_to_center(R, t))
-                solved = True
-                log(f"[SetupInitialCameraPair] E-init: {int(cnt)}/{n} inliers")
+            jnp.asarray(x2p), jnp.int32(n), f0, f1,
+            jnp.float64(0.25 * cfg.fmatrix_threshold),
+            num_rounds=cfg.fivepoint_rounds)
+        if bool(ok):
+            R1 = np.asarray(R)
+            c1 = np.asarray(pose_to_center(R, t))
+            solved = True
+            log(f"[SetupInitialCameraPair] 5pt-init: {int(cnt)}/{n} inliers")
 
     recon = Reconstruction(
         added_order=[i_best, j_best],

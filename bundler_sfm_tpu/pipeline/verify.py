@@ -165,7 +165,13 @@ def compute_geometric_constraints(scene: Scene, seed: int = 0,
     if not cfg.skip_homographies:
         compute_transforms(scene, seed=seed)
     scene.matches = symmetrize(scene.matches)
-    scene.tracks = build_tracks(scene.matches, scene.num_images)
+    try:
+        from bundler_sfm_tpu import native
+        tracks = native.build_tracks_native(scene.matches, scene.num_images)
+    except Exception:
+        tracks = None
+    scene.tracks = tracks if tracks is not None else \
+        build_tracks(scene.matches, scene.num_images)
     # Filter track length like the reference's min/max_track_views gates.
     scene.tracks = [t for t in scene.tracks
                     if cfg.min_track_views <= len(t) <= cfg.max_track_views]
