@@ -92,12 +92,16 @@ def two_nn(query: jnp.ndarray, db: jnp.ndarray, db_count: jnp.ndarray,
     q_sq = jnp.sum(query * query, axis=1)  # [Nq]
     num_blocks = nd // block
 
+    # Descriptor values are ints <= 255, exactly representable in bf16, and
+    # their 128-term dot products fit exactly in the f32 accumulator — so a
+    # single-pass bf16 MXU matmul yields EXACT integer distances.
+    q_b = query.astype(jnp.bfloat16)
+
     def block_dists(blk, start):
         b_sq = jnp.sum(blk * blk, axis=1)
         dots = jax.lax.dot_general(
-            query, blk,
+            q_b, blk.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # [Nq, block]
         d = q_sq[:, None] + b_sq[None, :] - 2.0 * dots
@@ -179,6 +183,26 @@ def _match_pairs_from_table(table, counts, pi, pj, ratio_sq, block):
     return jax.vmap(one)(pi, pj)
 
 
+@functools.partial(jax.jit, static_argnames=("block", "max_out"))
+def _match_pairs_from_table_compact(table, counts, pi, pj, ratio_sq,
+                                    block, max_out):
+    """Like _match_pairs_from_table but compacts accepted matches ON DEVICE
+    to fixed-size [B, max_out, 2] + count — tiny host transfers, no host
+    nonzero scan (matters on slow host links)."""
+    def one(i, j):
+        d0, i0, d1 = two_nn(table[i], table[j], counts[j], block=block)
+        acc = _ratio_accept(d0, d1, counts[i], ratio_sq)
+        # Stable partition: accepted query indices first, in ascending order.
+        order = jnp.argsort(~acc, stable=True)
+        sel = order[:max_out].astype(jnp.int32)
+        cnt = jnp.sum(acc)
+        valid_slots = jnp.arange(max_out) < cnt
+        idx1 = jnp.where(valid_slots, sel, -1)
+        idx2 = jnp.where(valid_slots, i0[sel], -1)
+        return jnp.stack([idx1, idx2], axis=1), jnp.minimum(cnt, max_out)
+    return jax.vmap(one)(pi, pj)
+
+
 class DescriptorTable:
     """Device-resident padded descriptor store for repeated pair matching."""
 
@@ -196,8 +220,11 @@ class DescriptorTable:
 
     def match_pairs(self, pairs: Sequence[Tuple[int, int]],
                     ratio: float = 0.6, batch: int = 16,
-                    min_matches: int = 0) -> "Dict[Tuple[int,int], np.ndarray]":
+                    min_matches: int = 0,
+                    max_out: int = 2048) -> "Dict[Tuple[int,int], np.ndarray]":
         out: Dict[Tuple[int, int], np.ndarray] = {}
+        max_out = min(max_out, self.table.shape[1])
+        results = []
         for start in range(0, len(pairs), batch):
             chunk = list(pairs[start:start + batch])
             n_real = len(chunk)
@@ -205,18 +232,18 @@ class DescriptorTable:
                 chunk.append(chunk[0])
             pi = jnp.asarray(np.array([i for i, _ in chunk], np.int32))
             pj = jnp.asarray(np.array([j for _, j in chunk], np.int32))
-            i0, acc = _match_pairs_from_table(
+            m, cnt = _match_pairs_from_table_compact(
                 self.table, self.counts, pi, pj,
-                jnp.float32(ratio * ratio), self.block)
-            i0 = np.asarray(i0)
-            acc = np.asarray(acc)
-            for p in range(n_real):
-                i, j = chunk[p]
-                idx1 = np.nonzero(acc[p])[0].astype(np.int32)
-                m = np.stack([idx1, i0[p, idx1].astype(np.int32)], axis=1)
-                m = prune_double_matches(m)
-                if len(m) >= min_matches:
-                    out[(i, j)] = m
+                jnp.float32(ratio * ratio), self.block, max_out)
+            results.append((chunk[:n_real], m, cnt))
+        # Fetch after all batches are enqueued (overlaps device + transfer).
+        for chunk, m, cnt in results:
+            m = np.asarray(m)
+            cnt = np.asarray(cnt)
+            for p, (i, j) in enumerate(chunk):
+                mm = prune_double_matches(m[p, :cnt[p]])
+                if len(mm) >= min_matches:
+                    out[(i, j)] = mm
         return out
 
 

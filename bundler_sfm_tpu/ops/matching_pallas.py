@@ -1,0 +1,120 @@
+"""Fused Pallas 2-NN kernel — distance matmul + top-2 in one VMEM pass.
+
+The XLA path (`ops.matching.two_nn`) materializes the [Nq, block] distance
+tile in HBM between the matmul and the reduction; this Pallas kernel keeps
+the tile in VMEM: per query tile, stream db blocks through the MXU and fold
+the running top-2 in registers/VMEM scratch — the memory-bound reduction
+rides on the matmul's operands.
+
+Distances are exact integers < 128·255² ≈ 2^23, representable in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38
+TQ = 256      # query tile
+BD = 512      # db block per inner step
+
+
+def _min_and_arg(d, base_idx):
+    """Min + its index over axis 1 of [TQ, BD] without argmin lowering."""
+    dmin = jnp.min(d, axis=1, keepdims=True)           # [TQ, 1]
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + base_idx
+    idx = jnp.min(jnp.where(d <= dmin, col, jnp.int32(2 ** 30)), axis=1)
+    return dmin[:, 0], idx
+
+
+def _two_nn_kernel(q_ref, db_ref, nd_ref, d0_ref, i0_ref, d1_ref):
+    q = q_ref[:]                                       # [TQ, 128]
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)       # [TQ, 1]
+    nd_valid = nd_ref[0, 0]
+    num_blocks = db_ref.shape[0] // BD
+
+    def body(b, carry):
+        d0, i0, d1 = carry
+        start = b * BD
+        blk = db_ref[pl.ds(start, BD), :]              # [BD, 128]
+        b_sq = jnp.sum(blk * blk, axis=1)              # [BD]
+        dots = jax.lax.dot_general(
+            q, blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d = q_sq + b_sq[None, :] - 2.0 * dots          # [TQ, BD]
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + start
+        d = jnp.where(col < nd_valid, d, jnp.float32(_BIG))
+        nd0, ni0 = _min_and_arg(d, start)
+        d_masked = jnp.where(col == ni0[:, None], jnp.float32(_BIG), d)
+        nd1, _ = _min_and_arg(d_masked, start)
+        # Merge running top-2 with block top-2.
+        a_first = d0 <= nd0
+        m0 = jnp.where(a_first, d0, nd0)
+        j0 = jnp.where(a_first, i0, ni0)
+        loser = jnp.where(a_first, nd0, d0)
+        own2 = jnp.where(a_first, d1, nd1)
+        m1 = jnp.minimum(loser, own2)
+        return m0, j0, m1
+
+    init = (jnp.full((TQ,), _BIG, jnp.float32),
+            jnp.zeros((TQ,), jnp.int32),
+            jnp.full((TQ,), _BIG, jnp.float32))
+    # int32 bounds: under jax_enable_x64 python-int bounds make the loop
+    # counter int64, which Mosaic cannot lower.
+    d0, i0, d1 = jax.lax.fori_loop(jnp.int32(0), jnp.int32(num_blocks),
+                                   body, init)
+    row = pl.program_id(0)
+    d0_ref[row, :] = d0
+    i0_ref[row, :] = i0
+    d1_ref[row, :] = d1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def two_nn_pallas(query: jnp.ndarray, db: jnp.ndarray, db_count: jnp.ndarray,
+                  interpret: bool = False):
+    """Fused 2-NN: query [Nq, 128] f32 (Nq % TQ == 0), db [Nd, 128] f32
+    (Nd % BD == 0, resident in VMEM).  Returns (d0, i0, d1) like
+    `ops.matching.two_nn`."""
+    nq = query.shape[0]
+    grid = (nq // TQ,)
+    nd_arr = jnp.asarray(db_count, jnp.int32).reshape(1, 1)
+    # The package enables jax_enable_x64; Mosaic has no 64-bit types, and
+    # x64 tracing leaks i64 into index maps.  This kernel is all-f32/i32, so
+    # trace it with x64 off.
+    with jax.enable_x64(False):
+        d0, i0, d1 = _call(query, db, nd_arr, grid, db.shape, nq, interpret)
+    return d0.reshape(nq), i0.reshape(nq), d1.reshape(nq)
+
+
+def _call(query, db, nd_arr, grid, db_shape, nq, interpret):
+    return pl.pallas_call(
+        _two_nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TQ, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(db_shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq // TQ, TQ), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq // TQ, TQ), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq // TQ, TQ), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq // TQ, TQ), jnp.float32),
+            jax.ShapeDtypeStruct((nq // TQ, TQ), jnp.int32),
+            jax.ShapeDtypeStruct((nq // TQ, TQ), jnp.float32),
+        ),
+        interpret=interpret,
+    )(query, db, nd_arr)
