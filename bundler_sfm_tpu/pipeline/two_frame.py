@@ -1,0 +1,219 @@
+"""Two-frame models and camera covariance.
+
+Reference `src/TwoFrameModel.h:36-110` / `src/BundleTwo.cpp`
+(`BundleTwoFrame` `:491` — a two-camera reconstruction per image pair used
+for pair scoring and relative-pose export — and `ComputeCameraCovariance`
+`:1748-1990`, which re-bundles with point constraints and reads the camera
+covariance off the Schur complement).
+
+Here a TwoFrameModel is produced by the same TPU stack as the main loop:
+5-point init → two-view triangulation → 2-camera Schur-LM; covariance comes
+from inverting the converged (undamped) reduced camera system S — the block
+SBA exports as Sout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundler_sfm_tpu.config import BundlerConfig
+from bundler_sfm_tpu.ops.ba import (
+    BAProblem, CNP, assemble_schur, build_normal_blocks, build_problem,
+    run_ba,
+)
+from bundler_sfm_tpu.ops.essential import pose_to_center
+from bundler_sfm_tpu.ops.fivepoint import estimate_pose_5point
+from bundler_sfm_tpu.ops.triangulate import triangulate_two_view
+from bundler_sfm_tpu.pipeline.scene import Scene
+from bundler_sfm_tpu.pipeline.tracks import matches_from_tracks
+
+
+@dataclasses.dataclass
+class TwoFrameModel:
+    """Pairwise reconstruction (fields of `src/TwoFrameModel.h:81-91`)."""
+    num_points: int
+    points: np.ndarray          # [n,3]
+    keys1: np.ndarray           # [n]
+    keys2: np.ndarray           # [n]
+    R0: np.ndarray              # camera 0 (identity frame)
+    c0: np.ndarray
+    f0: float
+    R1: np.ndarray
+    c1: np.ndarray
+    f1: float
+    C0: np.ndarray              # [3,3] camera-0 position covariance
+    C1: np.ndarray              # [3,3] camera-1 position covariance
+    angle: float                # median triangulation angle (degrees)
+    error: float                # mean reprojection error
+
+    def write(self, f) -> None:
+        """Text serialization compatible in spirit with
+        `TwoFrameModel::Write` (`src/TwoFrameModel.cpp:137-168`)."""
+        f.write(f"{self.num_points}\n{self.angle:0.9f}\n{self.error:0.9f}\n")
+        for i in range(self.num_points):
+            p = self.points[i]
+            f.write(f"-1 {self.keys1[i]} {self.keys2[i]} "
+                    f"{p[0]:0.16e} {p[1]:0.16e} {p[2]:0.16e}\n")
+        for R, c, fo in ((self.R0, self.c0, self.f0),
+                         (self.R1, self.c1, self.f1)):
+            t = -R @ c
+            f.write(f"{fo:0.9f}\n")
+            f.write(" ".join(f"{v:0.16e}" for v in R.reshape(-1)) + "\n")
+            f.write(" ".join(f"{v:0.16e}" for v in t) + "\n")
+        for C in (self.C0, self.C1):
+            f.write(" ".join(f"{v:0.16e}" for v in C.reshape(-1)) + "\n")
+
+
+ModelTable = Dict[Tuple[int, int], TwoFrameModel]
+
+
+def camera_covariance(prob: BAProblem, cam, pts,
+                      pt_constraint_weight: float = 1.0) -> np.ndarray:
+    """Covariance of camera parameters at a solution: inv(S) of the
+    UNDAMPED reduced camera system (role of `ComputeCameraCovariance`,
+    `src/BundleTwo.cpp:1748-1990`).
+
+    The reference fixes the gauge by re-bundling with POINT CONSTRAINTS at
+    the converged structure before reading off S — same here: a quadratic
+    prior anchoring every point makes S positive definite without biasing
+    the camera blocks.  Returns [C*9, C*9]."""
+    pts_np = np.asarray(pts)
+    anchored = prob._replace(
+        pt_constrained=jnp.ones(pts_np.shape[0], dtype=pts.dtype),
+        pt_constraints=jnp.asarray(pts_np),
+        pt_weight=jnp.asarray(pt_constraint_weight, pts.dtype))
+    U, V, W, g_c, g_p, _ = build_normal_blocks(cam, pts, anchored, False)
+    frozen = 1.0 - prob.cam_mask
+    U_aug = U + jax.vmap(jnp.diag)(frozen)
+    Vinv = jnp.linalg.inv(V + 1e-12 * jnp.eye(3, dtype=V.dtype)[None])
+    Y = jnp.einsum("oij,ojk->oik", W, Vinv[anchored.obs_pt])
+    S, _ = assemble_schur(U_aug, Y, W, g_c, g_p, anchored)
+    C = S.shape[0]
+    Sd = S.transpose(0, 2, 1, 3).reshape(C * CNP, C * CNP)
+    cov = jnp.linalg.inv(Sd)
+    return np.asarray(0.5 * (cov + cov.T))
+
+
+def bundle_two_frame(scene: Scene, i1: int, i2: int,
+                     seed: int = 0) -> Optional[TwoFrameModel]:
+    """`BundleTwoFrame` (`src/BundleTwo.cpp:491`): full two-camera
+    reconstruction of a pair from its shared tracks."""
+    cfg = scene.config
+    pair_matches = matches_from_tracks(scene.tracks, i1, i2)
+    if len(pair_matches) < cfg.min_max_matches:
+        return None
+    f1 = scene.init_focal(i1) or cfg.init_focal_length
+    f2 = scene.init_focal(i2) or cfg.init_focal_length
+    x1 = scene.key_xy[i1][pair_matches[:, 0]]
+    x2 = scene.key_xy[i2][pair_matches[:, 1]]
+    n = len(pair_matches)
+    pad = 64
+    while pad < n:
+        pad *= 2
+    x1p = np.zeros((pad, 2)); x1p[:n] = x1
+    x2p = np.zeros((pad, 2)); x2p[:n] = x2
+    R, t, cnt, ok = estimate_pose_5point(
+        jax.random.PRNGKey(seed), jnp.asarray(x1p), jnp.asarray(x2p),
+        jnp.int32(n), f1, f2, jnp.float64(0.25 * cfg.fmatrix_threshold),
+        num_rounds=cfg.fivepoint_rounds)
+    if not bool(ok):
+        return None
+    R1 = np.asarray(R)
+    c1 = np.asarray(pose_to_center(R, t))
+    R0 = np.eye(3)
+    c0 = np.zeros(3)
+
+    # Triangulate all matches; keep those under the projection threshold.
+    pts, k1s, k2s, angles = [], [], [], []
+    for (k1, k2) in pair_matches:
+        p = scene.key_xy[i1][k1]
+        q = scene.key_xy[i2][k2]
+        X, err = triangulate_two_view(
+            jnp.asarray(-p / f1), jnp.asarray(-q / f2),
+            jnp.asarray(R0), jnp.asarray(-R0 @ c0),
+            jnp.asarray(R1), jnp.asarray(-R1 @ c1))
+        if float(err) * 0.5 * (f1 + f2) > cfg.projection_estimation_threshold:
+            continue
+        X = np.asarray(X)
+        pts.append(X)
+        k1s.append(int(k1))
+        k2s.append(int(k2))
+        r1 = X - c0
+        r2 = X - c1
+        d = r1 @ r2 / max(np.linalg.norm(r1) * np.linalg.norm(r2), 1e-12)
+        angles.append(np.degrees(np.arccos(np.clip(d, -1, 1))))
+    if len(pts) < cfg.min_max_matches:
+        return None
+    pts = np.stack(pts)
+
+    # Two-camera bundle.
+    obs_cam = np.concatenate([np.zeros(len(pts), np.int32),
+                              np.ones(len(pts), np.int32)])
+    obs_pt = np.concatenate([np.arange(len(pts), dtype=np.int32)] * 2)
+    obs_xy = np.concatenate([scene.key_xy[i1][k1s], scene.key_xy[i2][k2s]])
+    cam0 = np.zeros((2, CNP))
+    cam0[0, 0:3] = c0
+    cam0[0, 6] = f1
+    cam0[1, 0:3] = c1
+    cam0[1, 6] = f2
+    prob = build_problem(np.stack([R0, R1]), cam0, pts, obs_cam, obs_pt,
+                         obs_xy, est_focal=not cfg.fixed_focal_length,
+                         est_distortion=cfg.estimate_distortion)
+    res = run_ba(prob, max_iters=cfg.sfm_max_iters)
+    cam = np.asarray(res.cam)
+    Rf = np.asarray(res.R)
+    ptsf = np.asarray(res.pts)[:len(pts)]
+    err = float(np.sqrt(2 * float(res.cost) / max(len(obs_cam), 1)))
+
+    # run_ba folds w into R and zeroes it — evaluate the covariance with the
+    # UPDATED base rotations or the Jacobians are taken at the wrong point.
+    prob_conv = prob._replace(R0=jnp.asarray(Rf))
+    cov = camera_covariance(prob_conv, jnp.asarray(cam),
+                            jnp.asarray(np.asarray(res.pts)))
+    # Position covariance blocks: params 0:3 of each camera.
+    C0 = cov[0:3, 0:3]
+    C1 = cov[CNP:CNP + 3, CNP:CNP + 3]
+
+    return TwoFrameModel(
+        num_points=len(ptsf), points=ptsf,
+        keys1=np.array(k1s), keys2=np.array(k2s),
+        R0=Rf[0], c0=cam[0, 0:3], f0=float(cam[0, 6]),
+        R1=Rf[1], c1=cam[1, 0:3], f1=float(cam[1, 6]),
+        C0=C0, C1=C1,
+        angle=float(np.median(angles)) if angles else 0.0,
+        error=err)
+
+
+def compute_model_table(scene: Scene, seed: int = 0) -> ModelTable:
+    """Two-frame models for every pair sharing enough tracks
+    (the models the reference builds for pair scoring / relpose output)."""
+    out: ModelTable = {}
+    n = scene.num_images
+    track_sets = [set(vp) for vp in scene.visible_points]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if len(track_sets[i] & track_sets[j]) < \
+                    scene.config.min_max_matches:
+                continue
+            m = bundle_two_frame(scene, i, j, seed=seed + i * n + j)
+            if m is not None:
+                out[(i, j)] = m
+    return out
+
+
+def write_relative_poses(path: str, models: ModelTable) -> None:
+    """Pairwise relative-pose dump (role of `OutputRelativePoses3D`,
+    `src/ProcessBundle.cpp:676`)."""
+    with open(path, "w") as f:
+        f.write(f"{len(models)}\n")
+        for (i, j), m in sorted(models.items()):
+            R_rel = m.R1 @ m.R0.T
+            t_rel = m.R0 @ (m.c1 - m.c0)
+            f.write(f"{i} {j} {m.num_points} {m.angle:0.6f} {m.error:0.6f}\n")
+            f.write(" ".join(f"{v:0.9e}" for v in R_rel.reshape(-1)) + "\n")
+            f.write(" ".join(f"{v:0.9e}" for v in t_rel) + "\n")
