@@ -69,6 +69,28 @@ def bench_cpu_kdtree(descs, pairs):
     return len(pairs) / dt, total, dt
 
 
+def bench_ba():
+    """Secondary metric: Schur-LM bundle-adjustment throughput (f32 on-chip,
+    8 cams / 2048 pts / 16k obs — a mid-size incremental-SfM round)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ge", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "__graft_entry__.py"))
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    from bundler_sfm_tpu.ops.ba import build_problem, run_ba
+    R0, cam0, pts0, oc, op, oxy = ge._synthetic_problem(num_cams=8,
+                                                        num_pts=2048)
+    prob = build_problem(R0, cam0, pts0, oc, op, oxy, est_focal=True,
+                         est_distortion=True, dtype=np.float32)
+    res = run_ba(prob, max_iters=30)   # compile
+    t0 = time.perf_counter()
+    res = run_ba(prob, max_iters=30)
+    res.cost.block_until_ready()
+    dt = time.perf_counter() - t0
+    return int(res.iters) * len(oc) / dt, dt / max(int(res.iters), 1)
+
+
 def main():
     rng = np.random.default_rng(0)
     descs = make_descriptors(rng, NUM_IMAGES, KEYS_PER_IMAGE)
@@ -79,6 +101,10 @@ def main():
     platform = jax.devices()[0].platform
 
     tpu_rate, tpu_matches, tpu_dt = bench_tpu(descs, pairs)
+    try:
+        ba_rate, ba_iter_s = bench_ba()
+    except Exception:
+        ba_rate, ba_iter_s = None, None
 
     try:
         cpu_rate, cpu_matches, cpu_dt = bench_cpu_kdtree(descs,
@@ -98,6 +124,9 @@ def main():
             "tpu_seconds": round(tpu_dt, 3),
             "tpu_matches": int(tpu_matches),
             "cpu_kdtree_pairs_per_s": round(cpu_rate, 3) if cpu_rate else None,
+            "ba_obs_iters_per_s": round(ba_rate) if ba_rate else None,
+            "ba_seconds_per_lm_iter": round(ba_iter_s, 5) if ba_iter_s
+            else None,
         },
     }
     print(json.dumps(result))

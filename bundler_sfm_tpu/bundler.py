@@ -161,6 +161,20 @@ def scene_from_args(args) -> "Scene":
     ).validate()
 
     entries = read_list_file(args.list_file, args.image_dir)
+    if args.intrinsics:
+        # Known intrinsics: assign nearest-focal record per image and pin
+        # the focal (the reference's known_intrinsics camera path;
+        # src/BundleIO.cpp:1297-1360).
+        from bundler_sfm_tpu.io.intrinsics import (
+            assign_intrinsics, read_intrinsics_file,
+        )
+        recs = read_intrinsics_file(args.intrinsics)
+        assigned = assign_intrinsics(recs, [e.init_focal for e in entries])
+        for e, rec in zip(entries, assigned):
+            if rec is not None:
+                e.init_focal = rec.focal
+        cfg.use_focal_estimate = True
+        cfg.trust_focal_estimate = True
     dims: List[tuple] = []
     key_xy: List[np.ndarray] = []
     key_color: List[Optional[np.ndarray]] = []
@@ -257,7 +271,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"[bundler] wrote {out}")
         return 0
 
-    bundle_adjust_fast(scene, out_dir=args.output_dir, seed=args.seed)
+    if args.slow_bundle:
+        from bundler_sfm_tpu.pipeline.incremental import bundle_adjust_slow
+        bundle_adjust_slow(scene, out_dir=args.output_dir, seed=args.seed)
+    else:
+        bundle_adjust_fast(scene, out_dir=args.output_dir, seed=args.seed)
     return 0
 
 

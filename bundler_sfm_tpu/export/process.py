@@ -108,6 +108,48 @@ def compress(bundle: BundleFile, image_names: Sequence[str]
     return BundleFile(cameras=cams, points=pts), names
 
 
+def estimate_up_vector(bundle: BundleFile,
+                       up_image: int = -1,
+                       min_deg: float = 80.0) -> np.ndarray:
+    """Scene up vector from camera y-axes.
+
+    Role of `EstimateAxes` (`src/BaseGeometry.cpp:553-713`): pick the camera
+    whose y-axis is most consistently orthogonal to the other cameras'
+    x-axes (within 90°±10°), use its y-axis as the up reference."""
+    regs = [i for i, c in enumerate(bundle.cameras) if c.registered]
+    if up_image >= 0:
+        return bundle.cameras[up_image].R[1].copy()
+    dot_thr = np.cos(np.deg2rad(min_deg))
+    best, best_inl = regs[0], -1
+    for i in regs:
+        y_i = bundle.cameras[i].R[1]
+        inl = sum(1 for j in regs if j != i and
+                  abs(y_i @ bundle.cameras[j].R[0]) <= dot_thr)
+        if inl > best_inl:
+            best, best_inl = i, inl
+    return bundle.cameras[best].R[1].copy()
+
+
+def transform_scene_canonical(bundle: BundleFile,
+                              up_image: int = -1) -> BundleFile:
+    """Rotate the scene so the estimated up vector becomes +y, then
+    center/scale (role of `TransformSceneCanonical`,
+    `src/BaseGeometry.cpp:1162`)."""
+    up = estimate_up_vector(bundle, up_image)
+    up = up / np.linalg.norm(up)
+    # Rotation taking `up` to (0, 1, 0).
+    y = np.array([0.0, 1.0, 0.0])
+    v = np.cross(up, y)
+    s = np.linalg.norm(v)
+    c = up @ y
+    if s < 1e-12:
+        Rg = np.eye(3) if c > 0 else np.diag([1.0, -1.0, -1.0])
+    else:
+        vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+        Rg = np.eye(3) + vx + vx @ vx * ((1 - c) / (s * s))
+    return reposition_scene(rotate_cameras(bundle, Rg))
+
+
 def reposition_scene(bundle: BundleFile) -> BundleFile:
     """Translate/scale the scene to a canonical frame: centroid of camera
     centers at the origin, median camera distance 1 (role of

@@ -634,6 +634,93 @@ def remove_bad_points(recon: Reconstruction, scene: Scene) -> int:
     return num_pruned
 
 
+def estimate_ignored_cameras(recon: Reconstruction, scene: Scene,
+                             seed: int = 0) -> int:
+    """`EstimateIgnoredCameras` (src/Bundle.cpp:1887-1990): after the main
+    loop, attempt to register every ignored image, motion-only bundle, add
+    points with relaxed gates (min_views=2), then one more registration
+    sweep."""
+    def sweep():
+        n_added = 0
+        for img in range(scene.num_images):
+            if not scene.ignore_in_bundle[img]:
+                continue
+            if recon.slot_of_image(img) is not None:
+                continue
+            ok = bundle_initialize_image(recon, scene, img,
+                                         recon.num_cameras,
+                                         seed=seed + 71 * img)
+            if ok:
+                n_added += 1
+        return n_added
+
+    added = sweep()
+    if added:
+        run_sfm(recon, scene, fix_points=True, verbose=False)
+        add_all_new_points(recon, scene)
+        added += sweep()
+    log(f"[EstimateIgnoredCameras] Recovered {added} cameras")
+    return added
+
+
+def bundle_adjust_slow(scene: Scene, out_dir: Optional[str] = None,
+                       seed: int = 0) -> Reconstruction:
+    """The one-camera-at-a-time variant (`BundleAdjust`,
+    src/Bundle.cpp:2069 — the non-fast path selected by --slow_bundle):
+    identical machinery, but each round registers ONLY the best-connected
+    image before re-bundling."""
+    cfg = scene.config
+    i_best, j_best = pick_initial_pair(scene, True)
+    log(f"[BundleAdjustSlow] Initial pair: {i_best}, {j_best}")
+    recon = setup_initial_pair(scene, i_best, j_best, seed=seed)
+    run_sfm(recon, scene)
+    while recon.num_cameras < scene.num_images:
+        counts = find_candidate_images(recon, scene)
+        if not counts:
+            break
+        img, max_matches = max(counts.items(), key=lambda kv: kv[1])
+        if max_matches < cfg.min_max_matches:
+            break
+        ok = bundle_initialize_image(recon, scene, img, recon.num_cameras,
+                                     seed=seed + 31 * img)
+        if not ok:
+            scene.ignore_in_bundle[img] = True
+            continue
+        if not cfg.skip_add_points:
+            add_all_new_points(recon, scene)
+        if not cfg.skip_full_bundle:
+            run_sfm(recon, scene)
+            remove_bad_points(recon, scene)
+        if out_dir:
+            dump_round(recon, scene, out_dir, recon.num_cameras)
+    if out_dir and cfg.bundle_output_file:
+        write_bundle_file(os.path.join(out_dir, cfg.bundle_output_file),
+                          to_bundle_file(recon, scene))
+    return recon
+
+
+def write_match_table(scene: Scene, append: str = "") -> None:
+    """Match-table snapshot nmatches<ext>.txt / matches<ext>.txt
+    (`WriteMatchTable`, src/BundleIO.cpp:1044-1111)."""
+    n = scene.num_images
+    with open(f"nmatches{append}.txt", "w") as f0, \
+            open(f"matches{append}.txt", "w") as f1:
+        f0.write(f"{n}\n")
+        for i in range(n):
+            for j in range(n):
+                if i >= j:
+                    f0.write("0 ")
+                    f1.write("\n")
+                else:
+                    m = scene.matches.get((i, j))
+                    if m is None or len(m) == 0:
+                        f0.write("0 ")
+                    else:
+                        f0.write(f"{len(m)} ")
+                        f1.write(" ".join(f"{a} {b}" for a, b in m) + " \n")
+            f0.write("\n")
+
+
 # --------------------------------------------------------------------------
 # Output
 # --------------------------------------------------------------------------
@@ -736,6 +823,9 @@ def bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
         if out_dir:
             dump_round(recon, scene, out_dir, recon.num_cameras)
         round_id += 1
+
+    if cfg.estimate_ignored:
+        estimate_ignored_cameras(recon, scene, seed=seed)
 
     if out_dir and cfg.bundle_output_file:
         write_bundle_file(os.path.join(out_dir, cfg.bundle_output_file),

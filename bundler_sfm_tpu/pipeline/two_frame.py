@@ -189,6 +189,83 @@ def bundle_two_frame(scene: Scene, i1: int, i2: int,
         error=err)
 
 
+def estimate_relative_pose(scene: Scene, i1: int, i2: int, seed: int = 0
+                           ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """`EstimateRelativePose` (src/RelativePose.cpp:36-192): E-matrix RANSAC
+    (4x fmatrix rounds at threshold²), homography fallback when >= 75% of the
+    epipolar inliers fit an H (planar/rotational scenes), E decomposition
+    otherwise.  Returns (R, center) of camera i2 in camera i1's frame."""
+    from bundler_sfm_tpu.ops.fmatrix import (
+        estimate_ematrix, fmatrix_residual,
+    )
+    from bundler_sfm_tpu.ops.homography import estimate_homography_ransac
+    from bundler_sfm_tpu.ops.homography_decompose import (
+        decompose_homography, fundamental_from_pose, homography_pixel_to_ray,
+    )
+    from bundler_sfm_tpu.ops.essential import decompose_essential_multipt
+
+    cfg = scene.config
+    pair_matches = matches_from_tracks(scene.tracks, i1, i2)
+    if len(pair_matches) < 8:
+        return None
+    f1 = scene.init_focal(i1) or cfg.init_focal_length
+    f2 = scene.init_focal(i2) or cfg.init_focal_length
+    x1 = scene.key_xy[i1][pair_matches[:, 0]]
+    x2 = scene.key_xy[i2][pair_matches[:, 1]]
+    n = len(pair_matches)
+    pad = 64
+    while pad < n:
+        pad *= 2
+    x1p = np.zeros((pad, 2)); x1p[:n] = x1
+    x2p = np.zeros((pad, 2)); x2p[:n] = x2
+    E, F, inl, cnt = estimate_ematrix(
+        jax.random.PRNGKey(seed), jnp.asarray(x1p), jnp.asarray(x2p),
+        jnp.int32(n), f1, f2, jnp.float64(cfg.fmatrix_threshold ** 2),
+        num_rounds=4 * cfg.fmatrix_rounds)
+    if int(cnt) == 0:
+        return None
+    inl = np.asarray(inl)[:n]
+    idx = np.nonzero(inl)[0]
+
+    # Homography on the epipolar inliers (128 rounds @ 6.0,
+    # src/RelativePose.cpp:90-94).
+    if len(idx) >= 4:
+        padh = 64
+        while padh < len(idx):
+            padh *= 2
+        h1 = np.zeros((padh, 2)); h1[:len(idx)] = x1[idx]
+        h2 = np.zeros((padh, 2)); h2[:len(idx)] = x2[idx]
+        H, hinl, hcnt = estimate_homography_ransac(
+            jax.random.PRNGKey(seed + 1), jnp.asarray(h1), jnp.asarray(h2),
+            jnp.int32(len(idx)), jnp.float64(6.0), num_rounds=128)
+        if int(hcnt) / max(len(idx), 1) >= 0.75:
+            H_ray = homography_pixel_to_ray(np.asarray(H), f1, f2)
+            sols = decompose_homography(H_ray)
+            # Pick the solution whose F explains more matches
+            # (src/RelativePose.cpp:129-162).
+            best, best_inl = None, -1
+            for R, t, _ in sols:
+                Fh = fundamental_from_pose(R, t, f1, f2)
+                r = np.asarray(fmatrix_residual(
+                    jnp.asarray(Fh), jnp.asarray(x2), jnp.asarray(x1)))
+                ninl = int((r < cfg.fmatrix_threshold).sum())
+                if ninl > best_inl:
+                    best, best_inl = (R, t), ninl
+            if best is not None and best_inl > 0:
+                R, t = best
+                return np.asarray(R), np.asarray(-R.T @ t)
+
+    # Default: decompose E (multi-point cheirality vote).
+    mask = np.zeros(pad, dtype=bool)
+    mask[:n] = inl
+    R, t, ok = decompose_essential_multipt(
+        E, jnp.asarray(-x1p / f1), jnp.asarray(-x2p / f2), jnp.asarray(mask))
+    if not bool(ok):
+        return None
+    R = np.asarray(R)
+    return R, np.asarray(pose_to_center(jnp.asarray(R), t))
+
+
 def compute_model_table(scene: Scene, seed: int = 0) -> ModelTable:
     """Two-frame models for every pair sharing enough tracks
     (the models the reference builds for pair scoring / relpose output)."""

@@ -18,6 +18,11 @@ import jax  # noqa: E402
 # The axon sitecustomize registers its TPU-tunnel backend and force-sets
 # jax_platforms="axon,cpu" AFTER env vars are read — override it back.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the e2e tests compile dozens of kernel shapes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
