@@ -81,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_ceres", action="store_true",
                    help="accepted for compatibility; the Schur-LM TPU "
                         "backend is always used")
+    # Bundle-surgery ops (ProcessBundle.cpp) — applied to a loaded --bundle.
+    p.add_argument("--scale_focal", type=float, default=1.0)
+    p.add_argument("--zero_distortion_params", action="store_true")
+    p.add_argument("--prune_bad_points", action="store_true")
+    p.add_argument("--compress_list", action="store_true")
+    p.add_argument("--reposition_scene", action="store_true")
+    p.add_argument("--estimate_up_vector_szeliski", action="store_true")
+    p.add_argument("--output_relposes", default=None)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -231,11 +239,55 @@ def _key_colors(path, info):
         return None
 
 
+def _bundle_surgery(args, scene) -> int:
+    """Apply ProcessBundle ops to a loaded bundle (`src/ProcessBundle.cpp`)."""
+    from bundler_sfm_tpu.io.bundlefile import read_bundle_file, \
+        write_bundle_file
+    from bundler_sfm_tpu.io.listfile import write_list_file, ImageEntry
+    from bundler_sfm_tpu.export import process as ops
+
+    bundle = read_bundle_file(args.bundle)
+    out_dir = args.output_dir
+    os.makedirs(out_dir, exist_ok=True)
+    if args.scale_focal != 1.0:
+        bundle = ops.scale_focal_lengths(bundle, args.scale_focal)
+        write_bundle_file(os.path.join(out_dir, "bundle.scale.out"), bundle)
+    if args.zero_distortion_params:
+        bundle = ops.zero_distortion_params(bundle)
+    if args.prune_bad_points:
+        bundle = ops.prune_bad_points(bundle)
+        write_bundle_file(os.path.join(out_dir, "bundle.pruned.out"), bundle)
+    if args.reposition_scene:
+        bundle = ops.reposition_scene(bundle)
+    if args.estimate_up_vector_szeliski:
+        bundle = ops.transform_scene_canonical(bundle)
+    if args.compress_list:
+        comp, names = ops.compress(bundle, [e.name for e in scene.entries])
+        write_bundle_file(os.path.join(out_dir, "bundle.compressed.out"),
+                          comp)
+        write_list_file(os.path.join(out_dir, "list.compressed.txt"),
+                        [ImageEntry(n) for n in names])
+        print(f"[bundler] compressed to {len(comp.cameras)} cameras")
+    out = os.path.join(out_dir, args.output or "bundle.processed.out")
+    write_bundle_file(out, bundle)
+    print(f"[bundler] wrote {out}")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_with_options_file(argv if argv is not None else sys.argv[1:])
     scene = scene_from_args(args)
     print(f"[bundler] {scene.num_images} images, "
           f"{len(scene.matches)} matched pairs")
+    # Pure bundle-surgery mode (ProcessBundle.cpp ops on a loaded bundle).
+    surgery = (args.scale_focal != 1.0 or args.zero_distortion_params or
+               args.prune_bad_points or args.compress_list or
+               args.reposition_scene or args.estimate_up_vector_szeliski or
+               args.output_relposes)
+    if args.bundle and surgery and not (args.run_bundle or
+                                        args.rerun_bundle):
+        return _bundle_surgery(args, scene)
+
     if not (args.run_bundle or args.rerun_bundle or args.bundle):
         print("[bundler] --run_bundle not given; nothing to do")
         return 0
