@@ -242,13 +242,14 @@ def descriptor(mag_l, ori_l, x, y, sigma, theta):
                   (v - (DESC_WIDTH / 2 - 0.5)) ** 2) /
                 (0.5 * DESC_WIDTH ** 2))
     wm = m * w
-    desc = jnp.zeros((DESC_WIDTH, DESC_WIDTH, DESC_BINS))
     u0 = jnp.floor(u).astype(jnp.int32)
     v0 = jnp.floor(v).astype(jnp.int32)
     ob0 = jnp.floor(obin).astype(jnp.int32)
     du = u - u0
     dv = v - v0
     do = obin - ob0
+    # Trilinear binning via flat scatter-add into the 128 bins.
+    d = jnp.zeros(DESC_WIDTH * DESC_WIDTH * DESC_BINS, dtype=wm.dtype)
     for iu in (0, 1):
         for iv in (0, 1):
             for io in (0, 1):
@@ -260,11 +261,9 @@ def descriptor(mag_l, ori_l, x, y, sigma, theta):
                 inside = (uu >= 0) & (uu < DESC_WIDTH) & \
                          (vv >= 0) & (vv < DESC_WIDTH)
                 wt = jnp.where(inside, wt, 0.0)
-                uu = jnp.clip(uu, 0, DESC_WIDTH - 1)
-                vv = jnp.clip(vv, 0, DESC_WIDTH - 1)
-                desc = desc.at[vv.reshape(-1), uu.reshape(-1),
-                               oo.reshape(-1)].add(wt.reshape(-1))
-    d = desc.reshape(-1)
+                idx = (jnp.clip(vv, 0, DESC_WIDTH - 1) * DESC_WIDTH +
+                       jnp.clip(uu, 0, DESC_WIDTH - 1)) * DESC_BINS + oo
+                d = d.at[idx.reshape(-1)].add(wt.reshape(-1))
     d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
     d = jnp.minimum(d, DESC_MAG_THR)
     d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)

@@ -18,10 +18,14 @@ import jax  # noqa: E402
 # The axon sitecustomize registers its TPU-tunnel backend and force-sets
 # jax_platforms="axon,cpu" AFTER env vars are read — override it back.
 jax.config.update("jax_platforms", "cpu")
-# Persistent compile cache: the e2e tests compile dozens of kernel shapes.
+# Persistent compile cache for the e2e tests.  MUST be a separate directory
+# from the TPU bench cache: the axon remote-compile helper stores XLA:CPU AOT
+# artifacts built for ITS machine's CPU features, and loading them here
+# causes SIGILL/slow fallbacks ("Machine type used for XLA:CPU compilation
+# doesn't match").
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
+                      os.path.abspath(__file__))), ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
@@ -31,3 +35,12 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _clear_jit_cache_after_slow(request):
+    """Each e2e pipeline test compiles ~1-2 GB of executables; without
+    clearing, a full-suite run balloons past 15 GB and gets OOM-killed."""
+    yield
+    if request.node.get_closest_marker("slow") is not None:
+        jax.clear_caches()
