@@ -167,15 +167,26 @@ def detect_octave(base: jnp.ndarray, max_keys: int):
     return xs, ys, sig, si + 1, valid, vals, mag, ori
 
 
-@functools.partial(jax.jit, static_argnames=())
-def orientation_hist(mag_l: jnp.ndarray, ori_l: jnp.ndarray,
-                     x: jnp.ndarray, y: jnp.ndarray, sigma: jnp.ndarray):
-    """36-bin orientation histogram around (x, y) with window 1.5*sigma."""
-    xi = jnp.round(x).astype(jnp.int32)
-    yi = jnp.round(y).astype(jnp.int32)
+def _level_patch(stack: jnp.ndarray, lvl, yi, xi):
+    """[L,H,W] stack -> [PATCH,PATCH] patch at level lvl centered (yi, xi).
+
+    Slicing all levels then indexing keeps the per-key gather at
+    L·PATCH² elements; indexing stack[lvl] first would gather a full
+    [H,W] image PER KEY under vmap (the original 50x slowdown)."""
     half = PATCH // 2
-    m = jax.lax.dynamic_slice(mag_l, (yi - half, xi - half), (PATCH, PATCH))
-    o = jax.lax.dynamic_slice(ori_l, (yi - half, xi - half), (PATCH, PATCH))
+    zero = jnp.zeros_like(yi)
+    p = jax.lax.dynamic_slice(
+        stack, (zero, yi - half, xi - half),
+        (stack.shape[0], PATCH, PATCH))
+    return p[lvl]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def orientation_hist(m: jnp.ndarray, o: jnp.ndarray,
+                     x: jnp.ndarray, y: jnp.ndarray, sigma: jnp.ndarray):
+    """36-bin orientation histogram from a pre-sliced [PATCH,PATCH] patch
+    (m, o) centered at the keypoint; window 1.5*sigma."""
+    half = PATCH // 2
     ry = jax.lax.broadcasted_iota(jnp.float32, (PATCH, PATCH), 0) - half
     rx = jax.lax.broadcasted_iota(jnp.float32, (PATCH, PATCH), 1) - half
     sig_w = 1.5 * sigma
@@ -220,17 +231,15 @@ def _dominant_orientations(hist: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=())
-def descriptor(mag_l, ori_l, x, y, sigma, theta):
-    """128-d SIFT descriptor at (x, y, sigma, theta) from one gradient level."""
-    xi = jnp.round(x).astype(jnp.int32)
-    yi = jnp.round(y).astype(jnp.int32)
+def descriptor(m, o, fx, fy, sigma, theta):
+    """128-d SIFT descriptor from a pre-sliced [PATCH,PATCH] gradient patch
+    (m, o); (fx, fy) are the keypoint's sub-pixel offsets from the patch
+    center."""
     half = PATCH // 2
-    m = jax.lax.dynamic_slice(mag_l, (yi - half, xi - half), (PATCH, PATCH))
-    o = jax.lax.dynamic_slice(ori_l, (yi - half, xi - half), (PATCH, PATCH))
     ry = (jax.lax.broadcasted_iota(jnp.float32, (PATCH, PATCH), 0) - half
-          + (y - yi))
+          - fy)
     rx = (jax.lax.broadcasted_iota(jnp.float32, (PATCH, PATCH), 1) - half
-          + (x - xi))
+          - fx)
     cos_t = jnp.cos(-theta)
     sin_t = jnp.sin(-theta)
     # Rotate into keypoint frame, in units of descriptor bins.
@@ -288,12 +297,16 @@ def extract_octave(base: jnp.ndarray, max_keys: int):
     ys_c = jnp.clip(ys, margin, H - margin)
 
     def per_key(x, y, s, l):
-        m_l = mag[l]
-        o_l = ori[l]
-        hist = orientation_hist(m_l, o_l, x, y, s)
+        xi = jnp.round(x).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
+        m = _level_patch(mag, l, yi, xi)
+        o = _level_patch(ori, l, yi, xi)
+        hist = orientation_hist(m, o, x, y, s)
         o0, o1, has2 = _dominant_orientations(hist)
-        d0 = descriptor(m_l, o_l, x, y, s, o0)
-        d1 = descriptor(m_l, o_l, x, y, s, o1)
+        fx = x - xi
+        fy = y - yi
+        d0 = descriptor(m, o, fx, fy, s, o0)
+        d1 = descriptor(m, o, fx, fy, s, o1)
         return o0, o1, has2, d0, d1
 
     o0, o1, has2, d0, d1 = jax.vmap(per_key)(xs_c, ys_c, sig, lvl)
