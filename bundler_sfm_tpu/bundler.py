@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip_full_bundle", action="store_true")
     p.add_argument("--skip_add_points", action="store_true")
     p.add_argument("--ignore_file", default=None)
+    p.add_argument("--add_images", default=None,
+                   help="file of image names to register against --bundle "
+                        "(src/BundlerApp.cpp:996-1021)")
     p.add_argument("--use_ceres", action="store_true",
                    help="accepted for compatibility; the Schur-LM TPU "
                         "backend is always used")
@@ -312,6 +315,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         bundle_in = read_bundle_file(args.bundle)
         recon = resume_from_bundle(scene, bundle_in)
+        if args.add_images:
+            # Only the listed images may join (BundleImagesFromFile,
+            # src/Bundle.cpp:3623).
+            with open(args.add_images) as f:
+                allowed = {line.split()[0] for line in f if line.strip()}
+            import os.path as osp
+            for i, e in enumerate(scene.entries):
+                if recon.slot_of_image(i) is None and \
+                        osp.basename(e.name) not in allowed and \
+                        e.name not in allowed:
+                    scene.ignore_in_bundle[i] = True
         if args.rerun_bundle:
             run_sfm(recon, scene)
         recon = continue_reconstruction(scene, recon,

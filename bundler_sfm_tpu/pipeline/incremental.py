@@ -32,10 +32,7 @@ from bundler_sfm_tpu.io.bundlefile import BundleCamera, BundleFile, BundlePoint
 from bundler_sfm_tpu.io.plyfile import write_points_ply
 from bundler_sfm_tpu.io.bundlefile import write_bundle_file
 from bundler_sfm_tpu.ops.ba import CNP, build_problem, run_ba
-from bundler_sfm_tpu.ops.fmatrix import estimate_ematrix
-from bundler_sfm_tpu.ops.essential import (
-    decompose_essential_multipt, pose_to_center,
-)
+from bundler_sfm_tpu.ops.essential import pose_to_center
 from bundler_sfm_tpu.ops.lm import camera_refine
 from bundler_sfm_tpu.ops.projection import ray_directions
 from bundler_sfm_tpu.ops.resection import find_and_verify_camera

@@ -58,6 +58,31 @@ def _batch_pairs(scene: Scene, pairs, pad: int):
     return jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(n)
 
 
+def remove_border_matches(scene: Scene) -> None:
+    """Drop matches whose keypoints fall within `keypoint_border_width` px
+    of any edge, or within `keypoint_border_bottom` px of the bottom
+    (centered coords; `RemoveMatchesNearBorder`,
+    `src/BundlerGeometry.cpp:752-845`)."""
+    cfg = scene.config
+    bw = cfg.keypoint_border_width
+    bb = cfg.keypoint_border_bottom
+
+    def ok(img, keys):
+        w, h = scene.dims[img]
+        xy = scene.key_xy[img][keys]
+        good = np.ones(len(keys), dtype=bool)
+        if bw > 0:
+            good &= (xy[:, 0] >= -0.5 * w + bw) & (xy[:, 0] <= 0.5 * w - bw)
+            good &= (xy[:, 1] >= -0.5 * h + bw) & (xy[:, 1] <= 0.5 * h - bw)
+        if bb > 0:
+            good &= xy[:, 1] >= -0.5 * h + bb   # bottom = most-negative y
+        return good
+
+    for (i, j), m in list(scene.matches.items()):
+        keep = ok(i, m[:, 0]) & ok(j, m[:, 1])
+        scene.matches[(i, j)] = m[keep]
+
+
 def compute_epipolar_geometry(scene: Scene, seed: int = 0,
                               batch: int = 16) -> None:
     """F-RANSAC every matched pair; filter match lists to inliers; drop pairs
@@ -160,6 +185,10 @@ def compute_geometric_constraints(scene: Scene, seed: int = 0,
         read_geometric_constraints(cache_path, scene)
         return
     cfg = scene.config
+    # Border-match filters (`RemoveMatchesNearBorder`/`...NearBottom`,
+    # `src/BundlerGeometry.cpp:119-139, 752-845`).
+    if cfg.keypoint_border_width > 0 or cfg.keypoint_border_bottom > 0:
+        remove_border_matches(scene)
     if not cfg.skip_fmatrix:
         compute_epipolar_geometry(scene, seed=seed)
     if not cfg.skip_homographies:

@@ -59,3 +59,44 @@ def test_estimate_ignored_recovers_camera(rng):
     n = estimate_ignored_cameras(recon, scene, seed=9)
     assert n == 1
     assert recon.num_cameras == 5
+
+
+def test_similarity_ransac(rng):
+    import jax
+    import jax.numpy as jnp
+    from bundler_sfm_tpu.ops.horn import (
+        estimate_similarity_ransac, similarity_transfer_dist,
+    )
+    theta, s = 0.3, 1.4
+    R = s * np.array([[np.cos(theta), -np.sin(theta)],
+                      [np.sin(theta), np.cos(theta)]])
+    t = np.array([5.0, -3.0])
+    p1 = rng.uniform(-100, 100, (80, 2))
+    p2 = p1 @ R.T + t
+    p2[:15] += rng.normal(size=(15, 2)) * 50  # outliers
+    pad = np.zeros((128, 2)); pad[:80] = p1
+    pad2 = np.zeros((128, 2)); pad2[:80] = p2
+    M, inl, cnt = estimate_similarity_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(pad), jnp.asarray(pad2),
+        jnp.int32(80), jnp.float64(2.0), num_rounds=128)
+    d = np.asarray(similarity_transfer_dist(M, jnp.asarray(p1[15:]),
+                                            jnp.asarray(p2[15:])))
+    assert np.median(d) < 0.5
+    assert int(cnt) >= 60
+
+
+def test_border_match_filter(rng):
+    from bundler_sfm_tpu.pipeline.verify import remove_border_matches
+    scene, _ = make_pipeline_scene(rng, num_cams=2, num_pts=50)
+    scene.config = __import__("dataclasses").replace(
+        scene.config, keypoint_border_width=100)
+    before = {k: len(v) for k, v in scene.matches.items()}
+    remove_border_matches(scene)
+    after = {k: len(v) for k, v in scene.matches.items()}
+    assert all(after[k] <= before[k] for k in before)
+    # Remaining matches are inside the border on both sides.
+    for (i, j), m in scene.matches.items():
+        for img, col in ((i, 0), (j, 1)):
+            w, h = scene.dims[img]
+            xy = scene.key_xy[img][m[:, col]]
+            assert (np.abs(xy[:, 0]) <= 0.5 * w - 100 + 1e-9).all()
