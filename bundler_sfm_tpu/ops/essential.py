@@ -28,7 +28,13 @@ _M = jnp.diag(jnp.array([-1.0, -1.0, 1.0]))
 
 
 def _candidates(E: jnp.ndarray):
-    U, S, Vt = jnp.linalg.svd(E)
+    from bundler_sfm_tpu.ops.svd_utils import svd_small
+    U, S, Vt = svd_small(E)
+    # E is rank 2: svd_small's third left-singular column (s3=0) is
+    # numerically undefined — rebuild it as u0 x u1 (U is orthonormal).
+    u2 = jnp.cross(U[:, 0], U[:, 1])
+    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2), 1e-30)
+    U = U.at[:, 2].set(u2)
     tu = U[:, 2]
     Ra = U @ _D @ Vt
     Rb = U @ _D.T @ Vt

@@ -94,8 +94,9 @@ def _nullspace_basis(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     h2 = jnp.concatenate([q2, jnp.ones_like(q2[:, :1])], axis=1)
     # Row for obs k: kron(h2_k, h1_k) so that row · vec(E) = h2ᵀ E h1.
     Q = jnp.einsum("ki,kj->kij", h2, h1).reshape(5, 9)
-    _, _, Vt = jnp.linalg.svd(Q, full_matrices=True)
-    return Vt[5:9].reshape(4, 3, 3)[::-1]  # order: x, y, z, 1 basis
+    from bundler_sfm_tpu.ops.svd_utils import nullspace_rows
+    ns = nullspace_rows(Q, 4)          # 4 smallest right-singular vectors
+    return ns.reshape(4, 3, 3)         # order: x, y, z, 1 basis
 
 
 def _constraint_matrix(B: jnp.ndarray) -> jnp.ndarray:

@@ -44,7 +44,8 @@ def fmatrix_residual(F: jnp.ndarray, r: jnp.ndarray, l: jnp.ndarray) -> jnp.ndar
 def _closest_rank2(F: jnp.ndarray, essential: bool) -> jnp.ndarray:
     """Rank-2 projection; for essential also force equal singular values
     (reference `closest_rank2_matrix` / `closest_rank2_matrix_ssv`)."""
-    U, S, Vt = jnp.linalg.svd(F)
+    from bundler_sfm_tpu.ops.svd_utils import svd_small
+    U, S, Vt = svd_small(F)
     if essential:
         s = 0.5 * (S[0] + S[1])
         S2 = jnp.array([s, s, 0.0], dtype=F.dtype)

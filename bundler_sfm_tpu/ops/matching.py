@@ -209,7 +209,9 @@ class DescriptorTable:
     def __init__(self, descs: Sequence[np.ndarray], block: int = 2048):
         self.block = block
         kmax = _round_up(max((len(d) for d in descs), default=1) or 1, block)
-        n = len(descs)
+        # Bucket the image count so different collections reuse the same
+        # compiled kernel (remote compiles cost minutes).
+        n = _round_up(len(descs), 8)
         table = np.zeros((n, kmax, 128), dtype=np.float32)
         counts = np.zeros(n, dtype=np.int32)
         for i, d in enumerate(descs):

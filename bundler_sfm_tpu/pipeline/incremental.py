@@ -59,6 +59,12 @@ def _bucket(n, lo=64):
     return b
 
 
+def _dt(cfg):
+    """Pipeline compute dtype: float64 for C-parity on CPU, float32 to run
+    the whole reconstruction on the TPU chip (config.ba_dtype)."""
+    return np.float32 if cfg.ba_dtype == "float32" else np.float64
+
+
 @dataclasses.dataclass
 class Reconstruction:
     """Mutable reconstruction state (the arrays BundleAdjustFast carries)."""
@@ -166,12 +172,13 @@ def setup_initial_pair(scene: Scene, i_best: int, j_best: int,
         from bundler_sfm_tpu.ops.fivepoint import estimate_pose_5point
         n = len(pair_matches)
         pad = _bucket(n, 64)
-        x1p = np.zeros((pad, 2)); x1p[:n] = x1
-        x2p = np.zeros((pad, 2)); x2p[:n] = x2
+        dt = _dt(cfg)
+        x1p = np.zeros((pad, 2), dt); x1p[:n] = x1
+        x2p = np.zeros((pad, 2), dt); x2p[:n] = x2
         R, t, cnt, ok = estimate_pose_5point(
             jax.random.PRNGKey(seed + 101), jnp.asarray(x1p),
             jnp.asarray(x2p), jnp.int32(n), f0, f1,
-            jnp.float64(0.25 * cfg.fmatrix_threshold),
+            jnp.asarray(0.25 * cfg.fmatrix_threshold, dt),
             num_rounds=cfg.fivepoint_rounds)
         if bool(ok):
             R1 = np.asarray(R)
@@ -191,24 +198,34 @@ def setup_initial_pair(scene: Scene, i_best: int, j_best: int,
         key_extra=[dict() for _ in range(scene.num_images)],
     )
 
-    # Triangulate the initial matches (src/Bundle.cpp:1806-1877).
-    for (k1, k2) in pair_matches:
+    # Triangulate the initial matches (src/Bundle.cpp:1806-1877) — one
+    # vmapped call over all matches instead of a per-match dispatch loop.
+    dt = _dt(cfg)
+    n_m = len(pair_matches)
+    if solved and n_m:
+        p_all = scene.key_xy[i_best][pair_matches[:, 0]].astype(dt)
+        q_all = scene.key_xy[j_best][pair_matches[:, 1]].astype(dt)
+        t1 = (-R0 @ c0).astype(dt)
+        t2 = (-R1 @ c1).astype(dt)
+        Xs, errs = jax.vmap(
+            lambda pp, qq: triangulate_two_view(
+                -pp / f0, -qq / f1, jnp.asarray(R0, dt), jnp.asarray(t1),
+                jnp.asarray(R1, dt), jnp.asarray(t2)))(
+            jnp.asarray(p_all), jnp.asarray(q_all))
+        Xs = np.asarray(Xs)
+        # Reference error gate: projection_estimation_threshold on the PIXEL
+        # error; err here is normalized rms -> scale by mean focal.
+        errs = np.asarray(errs) * 0.5 * (f0 + f1)
+    for mi, (k1, k2) in enumerate(pair_matches):
         p = scene.key_xy[i_best][k1]
-        q = scene.key_xy[j_best][k2]
         if not solved:
             x_pt = (p[0] / cfg.init_focal_length) * INITIAL_DEPTH
             y_pt = (p[1] / cfg.init_focal_length) * INITIAL_DEPTH
             X = np.array([x_pt, y_pt, INITIAL_DEPTH + c0[2]])
         else:
-            X, err = triangulate_two_view(
-                jnp.asarray(-p / f0), jnp.asarray(-q / f1),
-                jnp.asarray(R0), jnp.asarray(-R0 @ c0),
-                jnp.asarray(R1), jnp.asarray(-R1 @ c1))
-            # Reference error gate: projection_estimation_threshold on the
-            # PIXEL error; err here is normalized rms -> scale by mean focal.
-            if float(err) * 0.5 * (f0 + f1) > cfg.projection_estimation_threshold:
+            if errs[mi] > cfg.projection_estimation_threshold:
                 continue
-            X = np.asarray(X)
+            X = Xs[mi]
         pt_idx = len(recon.points)
         recon.points.append(X)
         recon.colors.append(scene.color_of_key(i_best, int(k1)))
@@ -242,7 +259,7 @@ def _gather_problem(recon: Reconstruction, scene: Scene,
             obs_xy.append(scene.key_xy[img][key])
     return live, remap, (np.array(obs_cam, np.int32),
                          np.array(obs_pt, np.int32),
-                         np.array(obs_xy, np.float64))
+                         np.array(obs_xy, _dt(cfg)))
 
 
 def run_sfm(recon: Reconstruction, scene: Scene,
@@ -288,7 +305,8 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             est_focal=not cfg.fixed_focal_length,
             est_distortion=cfg.estimate_distortion,
             cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
-            pad_cams=Cp, pad_pts=Pp, pad_obs=Op, max_views=Mp)
+            pad_cams=Cp, pad_pts=Pp, pad_obs=Op, max_views=Mp,
+            dtype=_dt(cfg))
         res = run_ba(prob, max_iters=cfg.sfm_max_iters, fix_points=fix_points,
                      tau=cfg.sfm_mu0_tau, eps1=cfg.sfm_eps1,
                      eps2=cfg.sfm_eps2)
@@ -385,16 +403,19 @@ def refine_camera_iterative(scene: Scene, img: int, cam0: np.ndarray,
     cam, R = cam0, R0
     pad = _bucket(len(pts), 64)
 
+    dt = _dt(cfg)
+
     def refine(cam, R, pts_a, projs_a, adjust_f):
         n = len(pts_a)
-        P = np.zeros((pad, 3)); P[:n] = pts_a
-        X = np.zeros((pad, 2)); X[:n] = projs_a
+        P = np.zeros((pad, 3), dt); P[:n] = pts_a
+        X = np.zeros((pad, 2), dt); X[:n] = projs_a
         m = np.zeros(pad, dtype=bool); m[:n] = True
         fw = cfg.constrain_focal_weight if (cfg.constrain_focal and
                                             scene.has_init_focal(img)) else 0.0
         fc = scene.init_focal(img) if fw > 0 else 0.0
         c, Rn, cost = camera_refine(
-            jnp.asarray(cam), jnp.asarray(R), jnp.asarray(P), jnp.asarray(X),
+            jnp.asarray(cam, dt), jnp.asarray(R, dt), jnp.asarray(P),
+            jnp.asarray(X),
             jnp.asarray(m), adjust_f, cfg.estimate_distortion,
             fc, fw, cfg.distortion_weight, 50, 1e-3)
         return np.asarray(c), np.asarray(Rn)
@@ -446,12 +467,13 @@ def bundle_initialize_image(recon: Reconstruction, scene: Scene, img: int,
     n = len(pts3)
 
     pad = _bucket(n, 64)
-    Xp = np.zeros((pad, 3)); Xp[:n] = pts3
-    xp = np.zeros((pad, 2)); xp[:n] = projs
+    dt = _dt(cfg)
+    Xp = np.zeros((pad, 3), dt); Xp[:n] = pts3
+    xp = np.zeros((pad, 2), dt); xp[:n] = projs
     ver = find_and_verify_camera(
         jax.random.PRNGKey(seed), jnp.asarray(Xp), jnp.asarray(xp),
-        jnp.int32(n), jnp.float64(cfg.projection_estimation_threshold),
-        jnp.float64(16.0 * cfg.projection_estimation_threshold),
+        jnp.int32(n), jnp.asarray(cfg.projection_estimation_threshold, dt),
+        jnp.asarray(16.0 * cfg.projection_estimation_threshold, dt),
         num_rounds=cfg.projection_rounds)
     if not bool(ver.ok):
         log(f"[BundleInitializeImage] {img}: pose estimation failed")
@@ -526,11 +548,12 @@ def add_all_new_points(recon: Reconstruction, scene: Scene) -> int:
 
     T = len(tracks)
     M = _round_up(max(len(v) for _, v in tracks), 4)
-    xy = np.zeros((T, M, 2))
-    fs = np.ones((T, M))
-    ks = np.zeros((T, M, 2))
-    Rs = np.broadcast_to(np.eye(3), (T, M, 3, 3)).copy()
-    cs = np.zeros((T, M, 3))
+    dt = _dt(cfg)
+    xy = np.zeros((T, M, 2), dt)
+    fs = np.ones((T, M), dt)
+    ks = np.zeros((T, M, 2), dt)
+    Rs = np.broadcast_to(np.eye(3, dtype=dt), (T, M, 3, 3)).copy()
+    cs = np.zeros((T, M, 3), dt)
     mask = np.zeros((T, M), dtype=bool)
     for ti, (tr, views) in enumerate(tracks):
         for vi, (slot, key) in enumerate(views):
@@ -543,14 +566,10 @@ def add_all_new_points(recon: Reconstruction, scene: Scene) -> int:
             mask[ti, vi] = True
 
     # Ray-angle conditioning (src/BundleAdd.cpp:272-337): max pairwise
-    # angle >= ray_angle_threshold.
-    rays = np.zeros((T, M, 3))
-    for ti in range(T):
-        for vi in range(M):
-            if mask[ti, vi]:
-                rays[ti, vi] = np.asarray(ray_directions(
-                    jnp.asarray(xy[ti, vi]), fs[ti, vi],
-                    jnp.asarray(Rs[ti, vi])))
+    # angle >= ray_angle_threshold.  Vectorized: ray = Rᵀ·(x/f, y/f, -1).
+    v = np.concatenate([xy / fs[..., None], -np.ones((T, M, 1), dt)], axis=2)
+    rays = np.einsum("tmi,tmij->tmj", v, Rs)        # == Rᵀ v per view
+    rays = np.where(mask[..., None], rays, 0.0)
     norms = np.linalg.norm(rays, axis=2, keepdims=True)
     norms[norms == 0] = 1.0
     rn = rays / norms

@@ -46,8 +46,9 @@ def _homography_batch(keys, x1, x2, n_valid, threshold, num_rounds):
 def _batch_pairs(scene: Scene, pairs, pad: int):
     """Stack per-pair correspondence coords, padded to `pad`."""
     B = len(pairs)
-    x1 = np.zeros((B, pad, 2))
-    x2 = np.zeros((B, pad, 2))
+    dt = np.float32 if scene.config.ba_dtype == "float32" else np.float64
+    x1 = np.zeros((B, pad, 2), dt)
+    x2 = np.zeros((B, pad, 2), dt)
     n = np.zeros(B, dtype=np.int32)
     for b, (i, j) in enumerate(pairs):
         m = scene.matches[(i, j)]
@@ -104,12 +105,13 @@ def compute_epipolar_geometry(scene: Scene, seed: int = 0,
         x1, x2, n = _batch_pairs(scene, chunk, pad_all)
         if len(chunk) < batch:
             padb = batch - len(chunk)
-            x1 = jnp.concatenate([x1, jnp.zeros((padb, pad_all, 2))])
-            x2 = jnp.concatenate([x2, jnp.zeros((padb, pad_all, 2))])
+            x1 = jnp.concatenate([x1, jnp.zeros((padb, pad_all, 2), x1.dtype)])
+            x2 = jnp.concatenate([x2, jnp.zeros((padb, pad_all, 2), x2.dtype)])
             n = jnp.concatenate([n, jnp.zeros(padb, jnp.int32)])
         keys = jax.random.split(jax.random.fold_in(base_key, start), batch)
         F, inl, cnt = _fmatrix_batch(keys, x1, x2, n,
-                                     jnp.float64(cfg.fmatrix_threshold),
+                                     jnp.asarray(cfg.fmatrix_threshold,
+                                                 x1.dtype),
                                      cfg.fmatrix_rounds)
         F = np.asarray(F)
         inl = np.asarray(inl)
@@ -148,12 +150,13 @@ def compute_transforms(scene: Scene, seed: int = 1, batch: int = 16) -> None:
         x1, x2, n = _batch_pairs(scene, chunk, pad_all)
         if len(chunk) < batch:
             padb = batch - len(chunk)
-            x1 = jnp.concatenate([x1, jnp.zeros((padb, pad_all, 2))])
-            x2 = jnp.concatenate([x2, jnp.zeros((padb, pad_all, 2))])
+            x1 = jnp.concatenate([x1, jnp.zeros((padb, pad_all, 2), x1.dtype)])
+            x2 = jnp.concatenate([x2, jnp.zeros((padb, pad_all, 2), x2.dtype)])
             n = jnp.concatenate([n, jnp.zeros(padb, jnp.int32)])
         keys = jax.random.split(jax.random.fold_in(base_key, start), batch)
         H, inl, cnt = _homography_batch(keys, x1, x2, n,
-                                        jnp.float64(cfg.homography_threshold),
+                                        jnp.asarray(cfg.homography_threshold,
+                                                    x1.dtype),
                                         cfg.homography_rounds)
         H = np.asarray(H)
         cnt = np.asarray(cnt)
