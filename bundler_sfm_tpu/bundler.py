@@ -82,8 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="file of image names to register against --bundle "
                         "(src/BundlerApp.cpp:996-1021)")
     p.add_argument("--use_ceres", action="store_true",
-                   help="accepted for compatibility; the Schur-LM TPU "
-                        "backend is always used")
+                   help="Ceres-equivalent robust backend: Huber(25) loss, "
+                        "num_vis-scaled priors, iterative Schur/CG for "
+                        ">200 cameras (src/BundleCeres.cpp)")
     # Bundle-surgery ops (ProcessBundle.cpp) — applied to a loaded --bundle.
     p.add_argument("--scale_focal", type=float, default=1.0)
     p.add_argument("--zero_distortion_params", action="store_true")
@@ -159,6 +160,7 @@ def scene_from_args(args) -> "Scene":
         max_track_views=args.max_track_views,
         initial_pair=(args.init_pair1, args.init_pair2),
         panorama_mode=args.panorama_mode,
+        use_ceres=args.use_ceres,
         estimate_ignored=args.estimate_ignored,
         skip_full_bundle=args.skip_full_bundle,
         skip_add_points=args.skip_add_points,

@@ -75,6 +75,12 @@ class BundlerConfig:
     keypoint_border_bottom: int = 0
 
     # ---- optimizer (lib/sfm-driver/sfm.c:705-714, 814) ----
+    # use_ceres selects the Ceres-equivalent robust backend: Huber(25) loss,
+    # num_vis-scaled priors, iterative Schur/CG for >200 cameras
+    # (src/BundleCeres.cpp:99-445, --use_ceres src/BundlerApp.cpp).
+    use_ceres: bool = False
+    ceres_huber_param: float = 25.0     # HUBER_PARAM src/BundleCeres.cpp:125
+    ceres_dense_max_cameras: int = 200  # SPARSE_SCHUR cutover :132-134
     sfm_max_iters: int = 150
     sfm_mu0_tau: float = 1.0e-3
     sfm_eps1: float = 1.0e-10

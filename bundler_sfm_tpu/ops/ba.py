@@ -48,6 +48,26 @@ CNP = 9  # camera params: c(3) w(3) f k1 k2
 PNP = 3
 
 
+def _robust_weight(s, loss: str, b):
+    """IRLS weight rho'(s) for a squared-norm residual block s = |r|^2.
+
+    loss="l2" -> 1; loss="huber" -> Ceres HuberLoss(a) with b = a^2
+    (src/BundleCeres.cpp:124-125 HUBER_PARAM=25.0, :285 HuberLoss):
+    rho(s) = s if s <= b else 2*sqrt(b*s) - b, so rho'(s) = min(1, sqrt(b/s)).
+    """
+    if loss == "l2":
+        return jnp.ones_like(s)
+    s_safe = jnp.maximum(s, 1e-30)
+    return jnp.minimum(1.0, jnp.sqrt(b / s_safe))
+
+
+def _robust_rho(s, loss: str, b):
+    if loss == "l2":
+        return s
+    s_safe = jnp.maximum(s, 1e-30)
+    return jnp.where(s <= b, s, 2.0 * jnp.sqrt(b * s_safe) - b)
+
+
 class BAProblem(NamedTuple):
     """Padded, static-shape bundle-adjustment problem."""
     R0: jnp.ndarray               # [C,3,3] base rotations
@@ -188,9 +208,11 @@ def _residuals(cam, pts, prob: BAProblem):
     return jax.vmap(one)(prob.obs_cam, prob.obs_pt, prob.obs_xy, prob.obs_valid)
 
 
-def compute_cost(cam, pts, prob: BAProblem):
+def compute_cost(cam, pts, prob: BAProblem, loss: str = "l2",
+                 huber_b: float = 625.0):
     r = _residuals(cam, pts, prob)
-    cost = 0.5 * jnp.sum(r * r)
+    s = jnp.sum(r * r, axis=1)
+    cost = 0.5 * jnp.sum(_robust_rho(s, loss, huber_b))
     cw = prob.cam_weights * prob.cam_constrained * prob.cam_mask
     cost += 0.5 * jnp.sum(cw * (cam - prob.cam_constraints) ** 2)
     pw = prob.pt_weight * prob.pt_constrained
@@ -198,7 +220,8 @@ def compute_cost(cam, pts, prob: BAProblem):
     return cost
 
 
-def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool):
+def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
+                        loss: str = "l2", huber_b: float = 625.0):
     """U [C,9,9], V [P,3,3], W [O,9,3], g_c [C,9], g_p [P,3], cost."""
     C = cam.shape[0]
     P = pts.shape[0]
@@ -213,6 +236,15 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool):
 
     r, A, B = jax.vmap(one)(prob.obs_cam, prob.obs_pt, prob.obs_xy,
                             prob.obs_valid)
+    # Robust IRLS scaling: rows of (r, A, B) scaled by sqrt(rho'(|r|^2)),
+    # the Gauss-Newton approximation Ceres uses sans the Triggs correction.
+    s = jnp.sum(r * r, axis=1)
+    rcost = 0.5 * jnp.sum(_robust_rho(s, loss, huber_b))
+    if loss != "l2":
+        sw = jnp.sqrt(_robust_weight(s, loss, huber_b))
+        r = r * sw[:, None]
+        A = A * sw[:, None, None]
+        B = B * sw[:, None, None]
     A = A * prob.cam_mask[prob.obs_cam][:, None, :]
     if fix_points:
         B = B * 0.0
@@ -225,7 +257,7 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool):
                                prob.obs_cam, num_segments=C)
     g_p = -jax.ops.segment_sum(jnp.einsum("oki,ok->oi", B, r),
                                prob.obs_pt, num_segments=P)
-    cost = 0.5 * jnp.sum(r * r)
+    cost = rcost
 
     # Camera constraints (sba.h:82-90).
     cw = prob.cam_weights * prob.cam_constrained * prob.cam_mask
@@ -305,6 +337,53 @@ def solve_schur(S, rhs):
     return dc.reshape(C, CNP)
 
 
+def solve_schur_cg(S, rhs, max_iters: int = 100, tol: float = 1e-8):
+    """Preconditioned CG on the reduced camera system with the SCHUR_JACOBI
+    (block-diagonal) preconditioner — the ITERATIVE_SCHUR path Ceres selects
+    for >200 cameras (src/BundleCeres.cpp:132-134,369-379).
+
+    The matvec contracts the block layout S [C,C,9,9] directly — for C
+    cameras this is a [C·9, C·9]·[C·9] product the MXU eats whole; no
+    explicit reshape to dense is materialized per iteration.
+    """
+    C = S.shape[0]
+    diag = S[jnp.arange(C), jnp.arange(C)]          # [C,9,9]
+    Minv = jnp.linalg.inv(diag + 1e-12 * jnp.eye(CNP, dtype=S.dtype))
+
+    def matvec(x):                                   # x [C,9]
+        return jnp.einsum("jkab,kb->ja", S, x)
+
+    def precond(r):
+        return jnp.einsum("jab,jb->ja", Minv, r)
+
+    b2 = jnp.sum(rhs * rhs)
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(state):
+        x, r, z, p, rz, it = state
+        return (it < max_iters) & (jnp.sum(r * r) > tol * tol * b2)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-300)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-300)
+        p = z + beta * p
+        return x, r, z, p, rz_new, it + 1
+
+    x, _, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, jnp.int32(0)))
+    return x
+
+
 def back_substitute(Vinv, W, g_p, dcam, prob: BAProblem):
     """dp_i = V_i⁻¹ (g_p_i − Σ_{o∈views(i)} W_oᵀ dcam[cam(o)])."""
     P = Vinv.shape[0]
@@ -317,28 +396,38 @@ def back_substitute(Vinv, W, g_p, dcam, prob: BAProblem):
 # LM driver
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "fix_points"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "fix_points",
+                                              "loss", "solver"))
 def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
-           tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12
-           ) -> BAResult:
+           tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12,
+           loss: str = "l2", huber_param: float = 25.0,
+           solver: str = "cholesky") -> BAResult:
     """Levenberg-Marquardt with Schur complement; mirrors run_sfm's SBA call
-    (MAX_ITERS=150 `sfm.c:814`, opts `sfm.c:705-714`)."""
+    (MAX_ITERS=150 `sfm.c:814`, opts `sfm.c:705-714`).
+
+    loss="huber" + solver="cg" reproduce the Ceres backend's configuration
+    (HuberLoss(25) `src/BundleCeres.cpp:125,285`; ITERATIVE_SCHUR with
+    SCHUR_JACOBI for >200 cams `:132-134,369-379`)."""
     C = prob.cam0.shape[0]
     P = prob.pts0.shape[0]
     dtype = prob.cam0.dtype
     eyec = jnp.eye(CNP, dtype=dtype)
     eyep = jnp.eye(PNP, dtype=dtype)
+    huber_b = huber_param * huber_param
 
     def damped_step(cam, pts, mu):
-        U, V, W, g_c, g_p, cost = build_normal_blocks(cam, pts, prob,
-                                                      fix_points)
+        U, V, W, g_c, g_p, cost = build_normal_blocks(
+            cam, pts, prob, fix_points, loss=loss, huber_b=huber_b)
         frozen = 1.0 - prob.cam_mask
         U_aug = U + jax.vmap(jnp.diag)(frozen) + mu * eyec[None]
         V_aug = V + (mu + 1e-12) * eyep[None]
         Vinv = jnp.linalg.inv(V_aug)
         Y = jnp.einsum("oij,ojk->oik", W, Vinv[prob.obs_pt])
         S, rhs = assemble_schur(U_aug, Y, W, g_c, g_p, prob)
-        dcam = solve_schur(S, rhs)
+        if solver == "cg":
+            dcam = solve_schur_cg(S, rhs)
+        else:
+            dcam = solve_schur(S, rhs)
         dcam = dcam * prob.cam_mask
         if fix_points:
             dpts = jnp.zeros_like(pts)
@@ -348,7 +437,7 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
 
     # Initial damping: tau * max diagonal of JᵀJ (SBA's init).
     U0, V0, _, g_c0, g_p0, cost0 = build_normal_blocks(
-        prob.cam0, prob.pts0, prob, fix_points)
+        prob.cam0, prob.pts0, prob, fix_points, loss=loss, huber_b=huber_b)
     maxdiag = jnp.maximum(
         jnp.max(jax.vmap(jnp.diag)(U0)), jnp.max(jax.vmap(jnp.diag)(V0)))
     mu0 = tau * jnp.maximum(maxdiag, 1.0)
@@ -362,7 +451,8 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
         dcam, dpts, g_c, g_p, _ = damped_step(cam, pts, mu)
         cam_new = cam + dcam
         pts_new = pts + dpts
-        new_cost = compute_cost(cam_new, pts_new, prob)
+        new_cost = compute_cost(cam_new, pts_new, prob, loss=loss,
+                                huber_b=huber_b)
         # Gain ratio: predicted reduction = 0.5 δᵀ(mu δ + g).
         pred = 0.5 * (jnp.sum(dcam * (mu * dcam + g_c))
                       + jnp.sum(dpts * (mu * dpts + g_p)))

@@ -284,17 +284,22 @@ def run_sfm(recon: Reconstruction, scene: Scene,
         pts0 = np.stack([recon.points[p] for p in live])
 
         # Focal/distortion constraints (SetCameraConstraints/
-        # SetFocalConstraint, src/Bundle.cpp:921-988).
+        # SetFocalConstraint, src/Bundle.cpp:921-988).  The Ceres backend
+        # scales prior weights by each camera's visibility count and uses
+        # 1e-4·distortion_weight on k1/k2 (src/BundleCeres.cpp:300-323).
+        num_vis = np.bincount(obs_cam, minlength=C)
         cc = np.zeros((C, CNP)); ct = np.zeros((C, CNP)); cw = np.zeros((C, CNP))
         for s in range(C):
             img = recon.added_order[s]
             if cfg.constrain_focal and scene.has_init_focal(img):
                 cc[s, 6] = 1.0
                 ct[s, 6] = scene.init_focal(img)
-                cw[s, 6] = cfg.constrain_focal_weight
+                cw[s, 6] = (cfg.constrain_focal_weight * num_vis[s]
+                            if cfg.use_ceres else cfg.constrain_focal_weight)
             if cfg.estimate_distortion:
                 cc[s, 7:9] = 1.0
-                cw[s, 7:9] = cfg.distortion_weight
+                cw[s, 7:9] = (1e-4 * cfg.distortion_weight * num_vis[s]
+                              if cfg.use_ceres else cfg.distortion_weight)
 
         Cp = _round_up(C, 4)
         Pp = _bucket(len(live), 256)
@@ -307,9 +312,18 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
             pad_cams=Cp, pad_pts=Pp, pad_obs=Op, max_views=Mp,
             dtype=_dt(cfg))
-        res = run_ba(prob, max_iters=cfg.sfm_max_iters, fix_points=fix_points,
-                     tau=cfg.sfm_mu0_tau, eps1=cfg.sfm_eps1,
-                     eps2=cfg.sfm_eps2)
+        if cfg.use_ceres:
+            solver = ("cholesky" if C <= cfg.ceres_dense_max_cameras
+                      else "cg")
+            res = run_ba(prob, max_iters=cfg.sfm_max_iters,
+                         fix_points=fix_points, tau=cfg.sfm_mu0_tau,
+                         eps1=cfg.sfm_eps1, eps2=cfg.sfm_eps2,
+                         loss="huber", huber_param=cfg.ceres_huber_param,
+                         solver=solver)
+        else:
+            res = run_ba(prob, max_iters=cfg.sfm_max_iters,
+                         fix_points=fix_points, tau=cfg.sfm_mu0_tau,
+                         eps1=cfg.sfm_eps1, eps2=cfg.sfm_eps2)
         cam = np.asarray(res.cam)
         Rf = np.asarray(res.R)
         pts = np.asarray(res.pts)

@@ -168,3 +168,45 @@ def test_camera_refine(rng):
     assert np.allclose(np.asarray(cam)[0:3], sc.centers[0], atol=1e-4)
     assert np.asarray(cam)[6] == pytest.approx(700.0, rel=1e-3)
     assert np.allclose(np.asarray(R), sc.R[0], atol=1e-4)
+
+
+def test_ba_huber_robust_to_outliers(rng):
+    # Corrupt a few observations with gross errors; Huber(25) should still
+    # converge to the truth where L2 gets dragged (src/BundleCeres.cpp:125).
+    sc = Scene(rng, num_cams=4, num_pts=120)
+    prob = make_problem(rng, sc, cam_noise=0.02, pt_noise=0.03,
+                        est_distortion=False)
+    oxy = np.array(prob.obs_xy)
+    n_bad = 12
+    bad = rng.choice(len(oxy), size=n_bad, replace=False)
+    oxy[bad] += rng.normal(size=(n_bad, 2)) * 200.0
+    prob = prob._replace(obs_xy=jnp.asarray(oxy))
+
+    res_l2 = run_ba(prob, max_iters=80)
+    res_h = run_ba(prob, max_iters=80, loss="huber", huber_param=25.0)
+
+    def inlier_rms(res):
+        from bundler_sfm_tpu.ops.projection import project_obs
+        pred = np.asarray(project_obs(
+            res.cam, res.R, res.pts, prob.obs_cam, prob.obs_pt))
+        d = np.linalg.norm(pred - oxy, axis=1)
+        mask = np.ones(len(oxy), bool)
+        mask[bad] = False
+        return float(np.sqrt(np.mean(d[mask] ** 2)))
+
+    # Huber bounds (not zeroes) outlier influence: expect a large
+    # improvement over L2, not perfection (12 outliers @ ~200px).
+    assert inlier_rms(res_h) < 5.0
+    assert inlier_rms(res_h) < 0.25 * inlier_rms(res_l2)
+
+
+def test_ba_cg_solver_matches_cholesky(rng):
+    sc = Scene(rng, num_cams=5, num_pts=100)
+    prob = make_problem(rng, sc, cam_noise=0.02, pt_noise=0.03,
+                        est_distortion=False)
+    res_chol = run_ba(prob, max_iters=60)
+    res_cg = run_ba(prob, max_iters=60, solver="cg")
+    # Both reach the same (zero-residual) optimum on clean data.
+    assert float(res_cg.cost) < 1e-6
+    assert np.allclose(np.asarray(res_cg.cam)[:5, 6],
+                       np.asarray(res_chol.cam)[:5, 6], rtol=1e-4)
