@@ -594,12 +594,29 @@ def add_all_new_points(recon: Reconstruction, scene: Scene) -> int:
     max_angle = angles.max(axis=(1, 2))
     conditioned = max_angle >= cfg.ray_angle_threshold
 
-    # Triangulate all candidates at once.
-    X, err = triangulate_tracks_pixels(
-        jnp.asarray(xy), jnp.asarray(fs), jnp.asarray(ks), jnp.asarray(Rs),
-        jnp.asarray(cs), jnp.asarray(mask))
-    X = np.asarray(X)
-    err = np.asarray(err)
+    if not cfg.panorama_mode:
+        # Triangulate all candidates at once.
+        X, err = triangulate_tracks_pixels(
+            jnp.asarray(xy), jnp.asarray(fs), jnp.asarray(ks),
+            jnp.asarray(Rs), jnp.asarray(cs), jnp.asarray(mask))
+        X = np.asarray(X)
+        err = np.asarray(err)
+    else:
+        # Panorama mode: place each track on its first view's ray
+        # (`GeneratePointAtInfinity`, src/BundleAdd.cpp:129-176, selected at
+        # :342-348): X = c0 + R0^T K0^{-1} (x, y, 1)-ray, unit length.
+        X = cs[:, 0] + rn[:, 0]
+        # Reprojection error across all views of the track (the reference
+        # leaves `error` unset here; we gate on the real residual).
+        q = np.einsum("tmij,tmj->tmi", Rs, X[:, None, :] - cs)
+        qz = np.where(np.abs(q[:, :, 2]) < 1e-12, -1e-12, q[:, :, 2])
+        u = -q[:, :, :2] / qz[:, :, None]
+        r2 = (u ** 2).sum(axis=2)
+        distort = 1.0 + ks[:, :, 0] * r2 + ks[:, :, 1] * r2 * r2
+        pred = fs[..., None] * distort[..., None] * u
+        d = np.linalg.norm(pred - xy, axis=2)
+        err = np.where(mask, d, 0.0).sum(axis=1) / \
+            np.maximum(mask.sum(axis=1), 1)
 
     # Cheirality for every view (src/BundleAdd.cpp:359-378).
     q = np.einsum("tmij,tmj->tmi", Rs, X[:, None, :] - cs)
