@@ -63,15 +63,41 @@ class BundleFile:
         return sum(1 for c in self.cameras if c.registered)
 
 
+def fix_reflection_bug(bundle: BundleFile) -> BundleFile:
+    """Reflect a pre-v0.3 scene into the v0.3 frame (`FixReflectionBug`,
+    `src/BaseGeometry.cpp:484-500`; `CameraInfo::Reflect`,
+    `src/Camera.cpp:227-237`): R' = D·R·D with D = diag(1,1,-1) written
+    element-wise (negate R02,R12,R20,R21 and t2), point z negated."""
+    D = np.diag([1.0, 1.0, -1.0])
+    cams = []
+    for c in bundle.cameras:
+        if not c.registered:
+            cams.append(c)
+            continue
+        cams.append(BundleCamera(f=c.f, k1=c.k1, k2=c.k2,
+                                 R=D @ c.R @ D, t=D @ c.t))
+    pts = [BundlePoint(pos=p.pos * np.array([1.0, 1.0, -1.0]),
+                       color=p.color, views=p.views)
+           for p in bundle.points]
+    return BundleFile(cameras=cams, points=pts)
+
+
 def read_bundle_file(path: str) -> BundleFile:
+    """Read any bundle version the reference reads
+    (`ReadBundleFile`, `src/BundleIO.cpp:417-607`): v0.1 (no header, focal
+    only, views without coords), v0.2 (focal+k, views without coords),
+    v0.3 (the standard format above), v0.4 (extra per-camera name/size
+    line).  Pre-v0.3 scenes are reflected into the v0.3 frame
+    (`FixReflectionBug` applied at `src/BundleIO.cpp:630-631`,
+    `src/BundlerApp.cpp:846-848`)."""
     with open(path) as f:
         header = f.readline()
-        if not header.startswith("#"):
-            raise ValueError(f"missing bundle header in {path}")
-        version = header.strip().split("v")[-1]
-        if float(version) < 0.3:
-            raise ValueError(f"bundle version {version} < 0.3 unsupported")
-        tokens = f.read().split()
+        if header.startswith("#") or header.startswith("v"):
+            version = float(header.strip().split("v")[-1])
+            tokens = f.read().split()
+        else:
+            version = 0.1  # headerless (src/BundleIO.cpp:446-448)
+            tokens = (header + f.read()).split()
     pos = 0
 
     def take(n):
@@ -83,21 +109,34 @@ def read_bundle_file(path: str) -> BundleFile:
     num_images, num_points = int(take(1)[0]), int(take(1)[0])
     cameras = []
     for _ in range(num_images):
-        vals = np.array(take(15), dtype=np.float64)
+        if version >= 0.4:
+            take(3)  # name, width, height (src/BundleIO.cpp:466-470)
+        if version > 0.1:
+            f_k = np.array(take(3), dtype=np.float64)
+        else:
+            f_k = np.array([float(take(1)[0]), 0.0, 0.0])
+        vals = np.array(take(12), dtype=np.float64)
         cameras.append(
             BundleCamera(
-                f=float(vals[0]), k1=float(vals[1]), k2=float(vals[2]),
-                R=vals[3:12].reshape(3, 3), t=vals[12:15],
+                f=float(f_k[0]), k1=float(f_k[1]), k2=float(f_k[2]),
+                R=vals[0:9].reshape(3, 3), t=vals[9:12],
             )
         )
+    view_w = 4 if version >= 0.3 else 2
     points = []
     for _ in range(num_points):
         xyz = np.array(take(3), dtype=np.float64)
         rgb = np.array(take(3), dtype=np.float64)
         nviews = int(take(1)[0])
-        views = np.array(take(4 * nviews), dtype=np.float64).reshape(nviews, 4)
+        raw = np.array(take(view_w * nviews),
+                       dtype=np.float64).reshape(nviews, view_w)
+        views = raw if view_w == 4 else np.concatenate(
+            [raw, np.zeros((nviews, 2))], axis=1)
         points.append(BundlePoint(pos=xyz, color=rgb, views=views))
-    return BundleFile(cameras=cameras, points=points)
+    out = BundleFile(cameras=cameras, points=points)
+    if version < 0.3:
+        out = fix_reflection_bug(out)
+    return out
 
 
 def write_bundle_file(path: str, bundle: BundleFile) -> None:

@@ -127,3 +127,77 @@ def test_ply_writer(tmp_path):
     text = path.read_text()
     assert "element vertex 6" in text  # 2 good points + 2*2 camera vertices
     assert "end_header" in text
+
+
+def test_read_old_bundle_versions(tmp_path):
+    """v0.1/v0.2 bundles (src/BundleIO.cpp:446-448,473-477,567-571) parse
+    and are reflected into the v0.3 frame (FixReflectionBug,
+    src/BaseGeometry.cpp:484-500)."""
+    from bundler_sfm_tpu.io.bundlefile import (
+        fix_reflection_bug, read_bundle_file,
+    )
+    golden = read_bundle_file(
+        "/root/reference/examples/kermit/results.example/bundle.out")
+    pre = fix_reflection_bug(golden)   # involution: reflect back to pre-v0.3
+
+    # Write a v0.2 file: header, f k1 k2, R, t, views without coords.
+    p2 = tmp_path / "bundle_v02.out"
+    with open(p2, "w") as f:
+        f.write("# Bundle file v0.2\n")
+        f.write(f"{len(pre.cameras)} {len(pre.points)}\n")
+        for c in pre.cameras:
+            if not c.registered:
+                f.write("0 0 0\n0 0 0\n0 0 0\n0 0 0\n0 0 0\n")
+                continue
+            f.write(f"{c.f:.10e} {c.k1:.10e} {c.k2:.10e}\n")
+            for r in range(3):
+                f.write(" ".join(f"{v:.10e}" for v in c.R[r]) + "\n")
+            f.write(" ".join(f"{v:.10e}" for v in c.t) + "\n")
+        for p in pre.points:
+            f.write(" ".join(f"{v:.10e}" for v in p.pos) + "\n")
+            f.write(" ".join(str(int(v)) for v in p.color) + "\n")
+            f.write(str(len(p.views)) + " " + " ".join(
+                f"{int(v[0])} {int(v[1])}" for v in p.views) + "\n")
+    b2 = read_bundle_file(str(p2))
+    for cg, cr in zip(golden.cameras, b2.cameras):
+        assert np.allclose(cg.R, cr.R)
+        assert np.allclose(cg.t, cr.t)
+        assert cg.f == pytest.approx(cr.f)
+    for pg, pr in zip(golden.points, b2.points):
+        assert np.allclose(pg.pos, pr.pos)
+        assert np.array_equal(pg.views[:, :2], pr.views[:, :2])
+
+    # v0.1: headerless, focal only.
+    p1 = tmp_path / "bundle_v01.out"
+    with open(p1, "w") as f:
+        f.write(f"{len(pre.cameras)} 1\n")
+        for c in pre.cameras:
+            if not c.registered:
+                f.write("0\n0 0 0\n0 0 0\n0 0 0\n0 0 0\n")
+                continue
+            f.write(f"{c.f:.10e}\n")
+            for r in range(3):
+                f.write(" ".join(f"{v:.10e}" for v in c.R[r]) + "\n")
+            f.write(" ".join(f"{v:.10e}" for v in c.t) + "\n")
+        p = pre.points[0]
+        f.write(" ".join(f"{v:.10e}" for v in p.pos) + "\n")
+        f.write("1 2 3\n")
+        f.write("2 0 5 1 9\n")
+    b1 = read_bundle_file(str(p1))
+    assert b1.cameras[0].k1 == 0.0
+    assert np.allclose(b1.cameras[0].R, golden.cameras[0].R)
+    assert np.allclose(b1.points[0].pos, golden.points[0].pos)
+    assert b1.points[0].views.shape == (2, 4)
+
+
+def test_create_match_script(capsys):
+    from bundler_sfm_tpu.creatematchscript import create_match_script
+    import io as _io
+    out = _io.StringIO()
+    create_match_script(["img1.jpg 0 700.0", "img2.jpg", "img3.jpg"],
+                        key_dir="keys", match_dir="m",
+                        keymatch_cmd="KeyMatch", out=out)
+    lines = out.getvalue().splitlines()
+    assert len(lines) == 3
+    assert lines[0] == "KeyMatch keys/img1.key keys/img2.key m/match-000-001.txt"
+    assert lines[2] == "KeyMatch keys/img2.key keys/img3.key m/match-001-002.txt"
