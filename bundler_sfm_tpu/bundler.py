@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run_bundle", action="store_true")
     p.add_argument("--rerun_bundle", action="store_true")
     p.add_argument("--slow_bundle", action="store_true")
+    p.add_argument("--construct_max_connectivity", action="store_true",
+                   help="slow-bundle next-image selection by frontier "
+                        "connectivity (src/Bundle.cpp:1209,2318)")
     p.add_argument("--match_table", default=None)
     p.add_argument("--match_dir", default=".")
     p.add_argument("--key_dir", default=".")
@@ -161,6 +164,7 @@ def scene_from_args(args) -> "Scene":
         initial_pair=(args.init_pair1, args.init_pair2),
         panorama_mode=args.panorama_mode,
         use_ceres=args.use_ceres,
+        construct_max_connectivity=args.construct_max_connectivity,
         estimate_ignored=args.estimate_ignored,
         skip_full_bundle=args.skip_full_bundle,
         skip_add_points=args.skip_add_points,

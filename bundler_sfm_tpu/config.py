@@ -63,6 +63,9 @@ class BundlerConfig:
     estimate_ignored: bool = False
     fix_necker: bool = False
     use_angular_score: bool = False
+    # Slow-bundle next-image selection by frontier connectivity
+    # (FindCameraWithMostConnectivity, src/Bundle.cpp:1209,2318-2322).
+    construct_max_connectivity: bool = False
 
     # ---- constraints (src/BundlerApp.h:45-53) ----
     use_constraints: bool = False

@@ -404,6 +404,65 @@ def find_candidate_images(recon: Reconstruction, scene: Scene
     return counts
 
 
+def find_camera_with_most_connectivity(recon: Reconstruction, scene: Scene,
+                                       frontier_min_matches: int = 32
+                                       ) -> Tuple[int, int]:
+    """Next-image selection that maximizes frontier growth
+    (`FindCameraWithMostConnectivity`, src/Bundle.cpp:1209-1434, selected by
+    --construct_max_connectivity): among unregistered images seeing enough
+    existing points (>= max(32, 0.2*max_seen)), pick the one whose addition
+    would put the most new images onto the frontier (>32 shared tracks);
+    ties broken by points seen.  Returns (image, num_existing_matches) or
+    (-1, 0)."""
+    registered = set(recon.added_order)
+    n = scene.num_images
+
+    def shared_tracks(i, j):
+        si = set(scene.visible_points[i])
+        return sum(1 for t in scene.visible_points[j] if t in si)
+
+    frontier = [False] * n
+    for i in registered:
+        frontier[i] = True
+        for j in range(n):
+            if j != i and not frontier[j] and \
+                    shared_tracks(i, j) > frontier_min_matches:
+                frontier[j] = True
+
+    seen_scores = {}
+    frontier_scores = {}
+    for i in range(n):
+        if i in registered or scene.ignore_in_bundle[i]:
+            continue
+        if scene.config.only_bundle_init_focal and not scene.has_init_focal(i):
+            continue
+        seen = set()
+        for tr in scene.visible_points[i]:
+            pt = recon.track_extra[tr]
+            if pt >= 0 and len(recon.pt_views[pt]) > 0:
+                seen.add(int(pt))
+        seen_scores[i] = len(seen)
+        frontier_scores[i] = sum(
+            1 for j in range(n) if not frontier[j] and j != i
+            and shared_tracks(i, j) > frontier_min_matches)
+
+    if not seen_scores:
+        return -1, 0
+    max_seen = max(seen_scores.values())
+    if max_seen == 0:
+        return -1, 0
+    i_best, top = -1, (-1, -1)
+    for i, seen in seen_scores.items():
+        if seen < 0.20 * max_seen or seen < 32:
+            continue
+        score = (frontier_scores[i], seen)
+        if score > top:
+            i_best, top = i, score
+    if i_best == -1:
+        return -1, 0
+    return i_best, seen_scores[i_best]
+
+
 def refine_camera_iterative(scene: Scene, img: int, cam0: np.ndarray,
                             R0: np.ndarray, pts: np.ndarray,
                             projs: np.ndarray, adjust_focal: bool
@@ -722,10 +781,16 @@ def bundle_adjust_slow(scene: Scene, out_dir: Optional[str] = None,
     recon = setup_initial_pair(scene, i_best, j_best, seed=seed)
     run_sfm(recon, scene)
     while recon.num_cameras < scene.num_images:
-        counts = find_candidate_images(recon, scene)
-        if not counts:
-            break
-        img, max_matches = max(counts.items(), key=lambda kv: kv[1])
+        if cfg.construct_max_connectivity:
+            img, max_matches = find_camera_with_most_connectivity(
+                recon, scene)
+            if img < 0:
+                break
+        else:
+            counts = find_candidate_images(recon, scene)
+            if not counts:
+                break
+            img, max_matches = max(counts.items(), key=lambda kv: kv[1])
         if max_matches < cfg.min_max_matches:
             break
         ok = bundle_initialize_image(recon, scene, img, recon.num_cameras,

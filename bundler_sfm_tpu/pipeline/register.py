@@ -104,3 +104,83 @@ def register_image(
                 k=(float(cam[7]), float(cam[8])),
                 num_inliers=len(inl),
                 matches=matches, inlier_idx=weak[inl])
+
+
+def match_keys_to_points(new_desc: np.ndarray, point_descs: np.ndarray,
+                         ratio: float = 0.6) -> np.ndarray:
+    """2-NN + ratio match of a new image's descriptors against coalesced
+    point descriptors (`MatchKeysToPoints`, `BundlerGeometry.cpp:624-685`);
+    one MXU distance matmul instead of an ANN tree."""
+    return prune_double_matches(match_pair(new_desc, point_descs,
+                                           ratio=ratio))
+
+
+def match_points_to_keys(point_descs: np.ndarray, new_desc: np.ndarray,
+                         ratio: float = 0.6) -> np.ndarray:
+    """The reverse direction (`MatchPointsToKeys`,
+    `BundlerGeometry.cpp:687-750`): queries are the point descriptors,
+    the tree is the new image's keys.  Rows are (point, key)."""
+    return prune_double_matches(match_pair(point_descs, new_desc,
+                                           ratio=ratio))
+
+
+def refine_points(points: np.ndarray, projs: np.ndarray,
+                  views_pv: list, views_R: list, views_c: list,
+                  cam: np.ndarray, R_cam: np.ndarray) -> tuple:
+    """Re-triangulate each point from its existing views PLUS the new
+    camera's observation, then report the RMS reprojection error in the new
+    camera (`RefinePoints`, `src/Bundle.cpp:2697-2775`).
+
+    views_pv[i]: [v,2] NEGATED normalized coords per existing view of point
+    i (the reference's ray convention); views_R/views_c: per-view [v,3,3] /
+    [v,3].  projs: [N,2] pixel observations in the new camera.
+    """
+    from bundler_sfm_tpu.ops.triangulate import triangulate_track
+    f = cam[6]
+    out = np.array(points, copy=True)
+    errs = np.zeros(len(points))
+    for i in range(len(points)):
+        pv = np.concatenate([views_pv[i], (-projs[i] / f)[None, :]], axis=0)
+        Rs = np.concatenate([views_R[i], R_cam[None]], axis=0)
+        cs = np.concatenate([views_c[i], cam[None, 0:3]], axis=0)
+        ts = np.einsum("vij,vj->vi", Rs, -cs)
+        mask = np.ones(len(pv), bool)
+        X, _ = triangulate_track(jnp.asarray(pv), jnp.asarray(Rs),
+                                 jnp.asarray(ts), jnp.asarray(mask))
+        out[i] = np.asarray(X)
+        q = R_cam @ (out[i] - cam[0:3])
+        u = -f * q[0:2] / q[2]
+        rsq = (u @ u) / (f * f)
+        u = u * (1.0 + cam[7] * rsq + cam[8] * rsq * rsq)
+        errs[i] = ((u - projs[i]) ** 2).sum()
+    return out, float(np.sqrt(errs.mean())) if len(points) else 0.0
+
+
+def refine_camera_and_points(scene, cam0: np.ndarray, R0: np.ndarray,
+                             points: np.ndarray, projs: np.ndarray,
+                             views_pv: list, views_R: list, views_c: list,
+                             adjust_focal: bool = True,
+                             max_rounds: int = 4,
+                             error_tol: float = 1e-3) -> tuple:
+    """Alternate single-camera refinement and point re-triangulation until
+    the error stops improving (`RefineCameraAndPoints`,
+    `src/Bundle.cpp:2777-2884`).  Returns (cam, R, points, inlier_idx)."""
+    cam, R = np.array(cam0, copy=True), np.array(R0, copy=True)
+    pts = np.array(points, copy=True)
+    error_old = np.inf
+    inl = np.arange(len(pts))
+    for _ in range(max_rounds):
+        cam, R, inl_local = refine_camera_iterative(
+            scene, 0, cam, R, pts[inl], projs[inl], adjust_focal)
+        inl = inl[inl_local]
+        if len(inl) < 6:
+            break
+        new_pts, error = refine_points(
+            pts[inl], projs[inl],
+            [views_pv[i] for i in inl], [views_R[i] for i in inl],
+            [views_c[i] for i in inl], cam, R)
+        pts[inl] = new_pts
+        if error_old - error < error_tol:
+            break
+        error_old = error
+    return cam, R, pts, inl

@@ -117,3 +117,35 @@ def num_track_matches(
     (`GetNumTrackMatches`, `src/MatchTracks.cpp:148`)."""
     si = set(visible_points[i])
     return sum(1 for t in visible_points[j] if t in si)
+
+
+def tracks_from_points(
+    point_views: Sequence[Sequence[Tuple[int, int]]], num_images: int
+) -> Tuple[List[Track],
+           List[List[int]], List[List[int]], List[Dict[int, int]]]:
+    """Rebuild tracks + per-image tables from bundle-adjusted point view
+    lists (`CreateTracksFromPoints` + `SetTracksFromPoints`,
+    `src/MatchTracks.cpp:61-113`).  Used when resuming from --bundle."""
+    tracks: List[Track] = [list(map(tuple, v)) for v in point_views]
+    vp, vk, kt = tracks_to_image_tables(tracks, num_images)
+    return tracks, vp, vk, kt
+
+
+def matches_from_points(
+    point_views: Sequence[Sequence[Tuple[int, int]]],
+    threshold: int = 0,
+) -> Dict[Tuple[int, int], np.ndarray]:
+    """Key-index match lists implied by adjusted points with >= threshold
+    views (`SetMatchesFromPoints`, `src/MatchTracks.cpp:282-324`); emits
+    both (i,j) and (j,i) directions like the reference's double loop."""
+    lists: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+    for views in point_views:
+        if len(views) < threshold:
+            continue
+        for (v1, k1) in views:
+            for (v2, k2) in views:
+                if v1 == v2:
+                    continue
+                lists.setdefault((v1, v2), []).append((k1, k2))
+    return {ij: np.array(m, dtype=np.int32).reshape(-1, 2)
+            for ij, m in lists.items()}

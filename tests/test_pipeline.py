@@ -134,3 +134,40 @@ def test_end_to_end_synthetic(rng, tmp_path):
     bf = read_bundle_file(str(tmp_path / "bundle.out"))
     assert bf.num_registered == 6
     assert len(bf.points) == n_pts
+
+
+def test_tracks_and_matches_from_points():
+    from bundler_sfm_tpu.pipeline.tracks import (
+        matches_from_points, tracks_from_points,
+    )
+    point_views = [
+        [(0, 3), (1, 7), (2, 1)],
+        [(0, 4), (2, 9)],
+    ]
+    tracks, vp, vk, kt = tracks_from_points(point_views, 3)
+    assert len(tracks) == 2
+    assert vp[0] == [0, 1] and vk[0] == [3, 4]
+    assert kt[2] == {1: 0, 9: 1}
+    m = matches_from_points(point_views)
+    assert np.array_equal(m[(0, 2)], np.array([[3, 1], [4, 9]]))
+    assert np.array_equal(m[(2, 0)], np.array([[1, 3], [9, 4]]))
+    assert np.array_equal(m[(1, 2)], np.array([[7, 1]]))
+    # threshold drops 2-view points.
+    m3 = matches_from_points(point_views, threshold=3)
+    assert (0, 2) in m3 and len(m3[(0, 2)]) == 1
+
+
+def test_find_camera_with_most_connectivity(rng, tmp_path):
+    import dataclasses
+    from bundler_sfm_tpu.pipeline.incremental import (
+        bundle_adjust_slow, find_camera_with_most_connectivity,
+    )
+    scene, syn = make_pipeline_scene(rng)
+    scene = dataclasses.replace(scene, config=dataclasses.replace(
+        scene.config, construct_max_connectivity=True))
+    compute_geometric_constraints(scene, seed=3)
+    recon = bundle_adjust_slow(scene, out_dir=str(tmp_path), seed=5)
+    assert recon.num_cameras == 6
+    # After full registration no candidate remains.
+    img, n = find_camera_with_most_connectivity(recon, scene)
+    assert img == -1

@@ -122,3 +122,86 @@ def test_register_image_against_model(rng):
     # the synthetic world frame only up to similarity, so check reprojection
     # instead: localized camera should see many inliers).
     assert result["num_inliers"] > 30
+
+
+def test_refine_camera_and_points(rng):
+    """RefineCameraAndPoints (src/Bundle.cpp:2777-2884): alternating camera
+    refine + point re-triangulation recovers from noisy points AND a noisy
+    camera guess."""
+    from bundler_sfm_tpu.pipeline.register import (
+        refine_camera_and_points, refine_points,
+    )
+    from bundler_sfm_tpu.config import BundlerConfig
+    from tests.synthetic import look_at_rotation, project
+
+    f = 700.0
+    n = 60
+    pts_gt = rng.normal(size=(n, 3)) * 0.5
+    # Two existing cameras + the new one.
+    centers = [np.array([4.0, 0.2, 0.1]), np.array([-0.2, 4.0, 0.3]),
+               np.array([2.5, 2.5, 0.5])]
+    Rs = [look_at_rotation(c, np.zeros(3)) for c in centers]
+    projs_new = project(Rs[2], centers[2], f, 0, 0, pts_gt)
+    views_pv, views_R, views_c = [], [], []
+    for X in pts_gt:
+        pv = []
+        for R, c in zip(Rs[:2], centers[:2]):
+            xy = project(R, c, f, 0, 0, X[None])[0]
+            pv.append(-xy / f)
+        views_pv.append(np.array(pv))
+        views_R.append(np.stack(Rs[:2]))
+        views_c.append(np.stack(centers[:2]))
+
+    pts_noisy = pts_gt + rng.normal(size=pts_gt.shape) * 0.02
+    cam0 = np.concatenate([centers[2] + rng.normal(size=3) * 0.05,
+                           np.zeros(3), [f * 1.03], np.zeros(2)])
+
+    class _Shim:
+        config = BundlerConfig()
+
+        @staticmethod
+        def has_init_focal(_):
+            return False
+
+        @staticmethod
+        def init_focal(_):
+            return 0.0
+
+    cam, R, pts, inl = refine_camera_and_points(
+        _Shim, cam0, Rs[2], pts_noisy, projs_new,
+        views_pv, views_R, views_c, adjust_focal=True)
+    assert len(inl) > 50
+    assert np.linalg.norm(cam[0:3] - centers[2]) < 5e-3
+    assert cam[6] == pytest.approx(f, rel=5e-3)
+    # Points pulled back toward ground truth.
+    assert np.linalg.norm(pts[inl] - pts_gt[inl], axis=1).mean() < 5e-3
+    # refine_points error is the new-camera RMS reprojection error.
+    _, err = refine_points(pts[inl], projs_new[inl],
+                           [views_pv[i] for i in inl],
+                           [views_R[i] for i in inl],
+                           [views_c[i] for i in inl], cam, R)
+    assert err < 1.0
+
+
+def test_match_points_to_keys_directions(rng):
+    from bundler_sfm_tpu.pipeline.register import (
+        match_keys_to_points, match_points_to_keys,
+    )
+    P, K = 40, 50
+    point_descs = rng.integers(0, 255, (P, 128)).astype(np.uint8)
+    # Keys: shuffled copies of the first 30 points + 20 distractors.
+    perm = rng.permutation(30)
+    new_desc = np.concatenate([
+        point_descs[perm],
+        rng.integers(0, 255, (K - 30, 128)).astype(np.uint8)])
+    m1 = match_keys_to_points(new_desc, point_descs)
+    m2 = match_points_to_keys(point_descs, new_desc)
+    # Exact copies match in both directions.
+    d1 = {int(a): int(b) for a, b in m1}
+    d2 = {int(a): int(b) for a, b in m2}
+    hits = sum(1 for ki, pi in d1.items()
+               if ki < 30 and pi == int(perm[ki]))
+    assert hits >= 28
+    hits2 = sum(1 for pi, ki in d2.items()
+                if ki < 30 and int(perm[ki]) == pi)
+    assert hits2 >= 28
