@@ -41,10 +41,13 @@ def match_full(key_files: List[str], window_radius: int = -1,
         for j in range(start, i):
             if len(descs[j]) and len(descs[i]):
                 pairs.append((j, i))
+    from bundler_sfm_tpu.utils import counter, get_telemetry
     t0 = time.time()
     out = match_pairs_batched(descs, pairs, ratio=ratio, batch=batch,
                               block=block, min_matches=min_matches)
     dt = time.time() - t0
+    counter("pairs_matched", len(pairs))
+    get_telemetry().add_time("match", dt)
     total = sum(len(v) for v in out.values())
     print(f"[KeyMatchFull] Matching took {dt:.3f}s "
           f"({len(pairs)} pairs, {len(pairs)/max(dt,1e-9):.1f} pairs/s, "

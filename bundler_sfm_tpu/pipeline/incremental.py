@@ -312,18 +312,22 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
             pad_cams=Cp, pad_pts=Pp, pad_obs=Op, max_views=Mp,
             dtype=_dt(cfg))
-        if cfg.use_ceres:
-            solver = ("cholesky" if C <= cfg.ceres_dense_max_cameras
-                      else "cg")
-            res = run_ba(prob, max_iters=cfg.sfm_max_iters,
-                         fix_points=fix_points, tau=cfg.sfm_mu0_tau,
-                         eps1=cfg.sfm_eps1, eps2=cfg.sfm_eps2,
-                         loss="huber", huber_param=cfg.ceres_huber_param,
-                         solver=solver)
-        else:
-            res = run_ba(prob, max_iters=cfg.sfm_max_iters,
-                         fix_points=fix_points, tau=cfg.sfm_mu0_tau,
-                         eps1=cfg.sfm_eps1, eps2=cfg.sfm_eps2)
+        from bundler_sfm_tpu.utils import get_telemetry, stage
+        with stage("ba"):
+            if cfg.use_ceres:
+                solver = ("cholesky" if C <= cfg.ceres_dense_max_cameras
+                          else "cg")
+                res = run_ba(prob, max_iters=cfg.sfm_max_iters,
+                             fix_points=fix_points, tau=cfg.sfm_mu0_tau,
+                             eps1=cfg.sfm_eps1, eps2=cfg.sfm_eps2,
+                             loss="huber", huber_param=cfg.ceres_huber_param,
+                             solver=solver)
+            else:
+                res = run_ba(prob, max_iters=cfg.sfm_max_iters,
+                             fix_points=fix_points, tau=cfg.sfm_mu0_tau,
+                             eps1=cfg.sfm_eps1, eps2=cfg.sfm_eps2)
+            get_telemetry().add("ba_observations",
+                                float(len(obs_cam)) * float(res.iters))
         cam = np.asarray(res.cam)
         Rf = np.asarray(res.R)
         pts = np.asarray(res.pts)
@@ -590,6 +594,8 @@ def bundle_initialize_image(recon: Reconstruction, scene: Scene, img: int,
     recon.added_order.append(img)
     recon.cam_R.append(Rn)
     recon.cam_params.append(cam)
+    from bundler_sfm_tpu.utils import counter
+    counter("images_registered")
     log(f"[BundleInitializeImage] {img}: registered with {len(inl)} points, "
         f"f={cam[6]:.2f}")
     return True
@@ -893,6 +899,13 @@ def bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
                        seed: int = 0) -> Reconstruction:
     """The full incremental loop (`BundleAdjustFast`,
     src/BundleFast.cpp:37-526)."""
+    from bundler_sfm_tpu.utils import stage
+    with stage("total", verbose=True):
+        return _bundle_adjust_fast(scene, out_dir, seed)
+
+
+def _bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
+                        seed: int = 0) -> Reconstruction:
     cfg = scene.config
     i_best, j_best = pick_initial_pair(scene, True)
     log(f"[BundleAdjust] Initial pair: {i_best}, {j_best}")

@@ -9,6 +9,7 @@ vmapped over the pair batch — every hypothesis of every pair scores at once.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -184,10 +185,13 @@ def compute_geometric_constraints(scene: Scene, seed: int = 0,
     from bundler_sfm_tpu.io.constraints import (
         read_geometric_constraints, write_geometric_constraints,
     )
+    from bundler_sfm_tpu.utils import counter, get_telemetry
     if cache_path and not overwrite and os.path.exists(cache_path):
         read_geometric_constraints(cache_path, scene)
         return
     cfg = scene.config
+    counter("pairs_verified", len(scene.matches))
+    _t0 = time.perf_counter()
     # Border-match filters (`RemoveMatchesNearBorder`/`...NearBottom`,
     # `src/BundlerGeometry.cpp:119-139, 752-845`).
     if cfg.keypoint_border_width > 0 or cfg.keypoint_border_bottom > 0:
@@ -214,5 +218,6 @@ def compute_geometric_constraints(scene: Scene, seed: int = 0,
     # Reference clears raw match lists after track building
     # (`RemoveAllMatches`, BundlerGeometry.cpp:158) — tracks are the truth now.
     scene.matches = {}
+    get_telemetry().add_time("verify", time.perf_counter() - _t0)
     if cache_path:
         write_geometric_constraints(cache_path, scene)
