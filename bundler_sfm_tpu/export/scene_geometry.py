@@ -309,3 +309,70 @@ def images_part_of_panorama(bundle: BundleFile, i1: int, i2: int,
     return (angle_avg <= max_angle_deg
             and dist_cams <= max_offset_ratio * d1.mean()
             and dist_cams <= max_offset_ratio * d2.mean())
+
+
+def compute_image_rotations(bundle: BundleFile, seed: int = 0) -> List[int]:
+    """Per-image quarter-turn uprighting (`ComputeImageRotations`,
+    `src/BaseGeometry.cpp:502-549`): project the scene up vector into each
+    image and pick the 90-degree rotation (0..3) aligning it with +y."""
+    _, up, _, _, _ = setup_scene_ground_plane(bundle, seed=seed)
+    rots = [0] * len(bundle.cameras)
+    for i, cam in enumerate(bundle.cameras):
+        if not cam.registered:
+            continue
+        up_cam = cam.R @ up            # pose^T·up with pose = R^T
+        x_dot, y_dot = up_cam[0], up_cam[1]
+        if abs(x_dot) > abs(y_dot):
+            rots[i] = 3 if x_dot > 0.0 else 1
+        else:
+            rots[i] = 0 if y_dot > 0.0 else 2
+    return rots
+
+
+def get_point_projections(bundle: BundleFile, cam_idx: int,
+                          indices: Optional[Sequence[int]] = None,
+                          width: int = 0, height: int = 0,
+                          cheirality: bool = True):
+    """Project points into one camera, keeping in-front (and, when an image
+    size is given, in-bounds) ones (`GetPointProjections`,
+    `src/Geometry.cpp:1010-1048`).  Returns (projs [M,2], kept indices)."""
+    cam = bundle.cameras[cam_idx]
+    idx = (np.arange(len(bundle.points)) if indices is None
+           else np.asarray(list(indices), np.int64))
+    pos = np.stack([bundle.points[i].pos for i in idx])
+    q = (pos - cam.center) @ cam.R.T
+    in_front = q[:, 2] < 0.0 if cheirality else np.ones(len(q), bool)
+    qz = np.where(np.abs(q[:, 2]) < 1e-12, -1e-12, q[:, 2])
+    u = -cam.f * q[:, :2] / qz[:, None]
+    r2 = (u ** 2).sum(axis=1) / (cam.f * cam.f)
+    u = u * (1.0 + cam.k1 * r2 + cam.k2 * r2 * r2)[:, None]
+    keep = in_front
+    if width and height:
+        keep = keep & (np.abs(u[:, 0]) <= 0.5 * width) \
+                    & (np.abs(u[:, 1]) <= 0.5 * height)
+    return u[keep], idx[keep]
+
+
+def estimate_point_normals(bundle: BundleFile, k: int = 32) -> np.ndarray:
+    """kNN plane-fit normals, oriented toward the viewing cameras
+    (`EstimatePointNormals`, `src/BaseGeometry.cpp:1444-1594`, NUM_NNS=32);
+    the kNN + covariance work runs as one batched MXU kernel
+    (ops/plane.knn_plane_normals)."""
+    from bundler_sfm_tpu.ops.plane import knn_plane_normals
+    P = len(bundle.points)
+    if P == 0:
+        return np.zeros((0, 3))
+    pos = np.stack([p.pos for p in bundle.points])
+    normals = np.array(knn_plane_normals(
+        jnp.asarray(pos), jnp.ones(P), k=min(k, P)))
+    # Orient each normal against the mean viewing ray (toward the cameras).
+    centers = np.stack([c.center if c.registered else np.zeros(3)
+                        for c in bundle.cameras])
+    for pi, p in enumerate(bundle.points):
+        cams = p.views[:, 0].astype(int) if len(p.views) else []
+        if len(cams) == 0:
+            continue
+        rays = pos[pi][None, :] - centers[cams]
+        if normals[pi] @ rays.mean(axis=0) > 0:
+            normals[pi] = -normals[pi]
+    return normals

@@ -136,3 +136,31 @@ def fit_line_2d_ransac(key, pts2, mask, threshold, rounds: int = 1024):
     line = fit_line_2d_ortho(pts2, best_mask)
     final_inl = (jnp.abs(pts2 @ line[:2] + line[2]) < threshold) & (m > 0)
     return line, jnp.sum(best_mask.astype(jnp.int32)), final_inl
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_plane_normals(pts, mask, k: int = 32):
+    """Per-point normals from a plane fit to the k nearest neighbors
+    (`EstimatePointNormals`, `src/BaseGeometry.cpp:1444-1594`, NUM_NNS=32).
+
+    TPU redesign: the reference queries an ANN kd-tree point-by-point; here
+    the full [N,N] squared-distance matrix is one MXU matmul
+    (|a|^2+|b|^2-2ab^T), top-k per row, then batched 3x3 covariance eigen
+    problems.  pts [N,3], mask [N] -> normals [N,3] (unit, smallest
+    covariance eigenvector).
+    """
+    pts = jnp.asarray(pts)
+    N = pts.shape[0]
+    m = jnp.asarray(mask, pts.dtype)
+    sq = jnp.sum(pts * pts, axis=1)
+    D = sq[:, None] + sq[None, :] - 2.0 * (pts @ pts.T)
+    D = jnp.where(m[None, :] > 0, D, jnp.inf)          # mask padding
+    neg, idx = jax.lax.top_k(-D, k)                    # includes self (d=0)
+    nbrs = pts[idx]                                    # [N,k,3]
+    w = jnp.isfinite(-neg).astype(pts.dtype)           # [N,k]
+    cnt = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(nbrs * w[..., None], axis=1) / cnt  # [N,3]
+    dev = (nbrs - mean[:, None, :]) * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", dev, dev)
+    _, V = jnp.linalg.eigh(cov)
+    return V[:, :, 0]

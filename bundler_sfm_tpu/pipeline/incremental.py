@@ -387,6 +387,56 @@ def run_sfm(recon: Reconstruction, scene: Scene,
 # Camera registration
 # --------------------------------------------------------------------------
 
+def fix_necker_reversal(recon: Reconstruction, scene: Scene) -> None:
+    """Necker-reversal handling after the initial two-camera bundle
+    (--fix_necker; src/BundleFast.cpp:126-214, src/Bundle.cpp:2160-2240):
+    swap the two cameras' poses, reset their focals to the initial guesses
+    and distortion to zero, re-triangulate every point from the swapped
+    pair, and re-bundle.  The reference commits to the flipped
+    configuration unconditionally (the error0/error1 restore is compiled
+    out, BundleFast.cpp:202-213)."""
+    assert recon.num_cameras == 2
+    cfg = scene.config
+    i_best, j_best = recon.added_order
+    f0 = scene.init_focal(i_best) if (not cfg.fixed_focal_length and
+                                      scene.has_init_focal(i_best)) \
+        else cfg.init_focal_length
+    f1 = scene.init_focal(j_best) if (not cfg.fixed_focal_length and
+                                      scene.has_init_focal(j_best)) \
+        else cfg.init_focal_length
+
+    # Swap poses; reset intrinsics (BundleFast.cpp:137-147).
+    R0, R1 = recon.cam_R[1].copy(), recon.cam_R[0].copy()
+    c0, c1 = recon.cam_params[1][0:3].copy(), recon.cam_params[0][0:3].copy()
+    recon.cam_R[0], recon.cam_R[1] = R0, R1
+    recon.cam_params[0] = np.concatenate([c0, np.zeros(3), [f0], np.zeros(2)])
+    recon.cam_params[1] = np.concatenate([c1, np.zeros(3), [f1], np.zeros(2)])
+
+    # Re-triangulate each live point from its two views (:158-196).
+    for p in range(len(recon.points)):
+        views = recon.pt_views[p]
+        if len(views) < 2:
+            continue
+        (s1, k1), (s2, k2) = views[0], views[1]
+        img1, img2 = recon.added_order[s1], recon.added_order[s2]
+        xy1 = scene.key_xy[img1][k1]
+        xy2 = scene.key_xy[img2][k2]
+        fs1 = recon.cam_params[s1][6]
+        fs2 = recon.cam_params[s2][6]
+        p_n = -np.asarray(xy1) / fs1     # negated normalized coords
+        q_n = -np.asarray(xy2) / fs2
+        t1 = -recon.cam_R[s1] @ recon.cam_params[s1][0:3]
+        t2 = -recon.cam_R[s2] @ recon.cam_params[s2][0:3]
+        X, _ = triangulate_two_view(
+            jnp.asarray(p_n), jnp.asarray(q_n),
+            jnp.asarray(recon.cam_R[s1]), jnp.asarray(t1),
+            jnp.asarray(recon.cam_R[s2]), jnp.asarray(t2))
+        recon.points[p] = np.asarray(X)
+
+    log("[FixNecker] Re-bundling the reversed configuration")
+    run_sfm(recon, scene)
+
+
 def find_candidate_images(recon: Reconstruction, scene: Scene
                           ) -> Dict[int, int]:
     """#existing 3D points seen by each unregistered image
@@ -785,7 +835,9 @@ def bundle_adjust_slow(scene: Scene, out_dir: Optional[str] = None,
     i_best, j_best = pick_initial_pair(scene, True)
     log(f"[BundleAdjustSlow] Initial pair: {i_best}, {j_best}")
     recon = setup_initial_pair(scene, i_best, j_best, seed=seed)
-    run_sfm(recon, scene)
+    run_sfm(recon, scene, remove_outliers=not cfg.fix_necker)
+    if cfg.fix_necker:
+        fix_necker_reversal(recon, scene)
     while recon.num_cameras < scene.num_images:
         if cfg.construct_max_connectivity:
             img, max_matches = find_camera_with_most_connectivity(
@@ -910,7 +962,9 @@ def _bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
     i_best, j_best = pick_initial_pair(scene, True)
     log(f"[BundleAdjust] Initial pair: {i_best}, {j_best}")
     recon = setup_initial_pair(scene, i_best, j_best, seed=seed)
-    run_sfm(recon, scene)
+    run_sfm(recon, scene, remove_outliers=not cfg.fix_necker)
+    if cfg.fix_necker:
+        fix_necker_reversal(recon, scene)
     if out_dir:
         dump_round(recon, scene, out_dir, recon.num_cameras)
 

@@ -171,3 +171,52 @@ def test_find_camera_with_most_connectivity(rng, tmp_path):
     # After full registration no candidate remains.
     img, n = find_camera_with_most_connectivity(recon, scene)
     assert img == -1
+
+
+def test_fix_necker_reversal(rng):
+    """--fix_necker (src/BundleFast.cpp:126-214): swap the initial pair,
+    re-triangulate, re-bundle; the reversed configuration must re-converge
+    to a consistent two-camera model on clean data."""
+    import dataclasses
+    from bundler_sfm_tpu.pipeline.incremental import (
+        fix_necker_reversal, pick_initial_pair, run_sfm, setup_initial_pair,
+    )
+    from bundler_sfm_tpu.ops.projection import project_obs
+    import jax.numpy as jnp
+
+    scene, syn = make_pipeline_scene(rng, num_cams=4, num_pts=150,
+                                     outlier_frac=0.0)
+    scene = dataclasses.replace(scene, config=dataclasses.replace(
+        scene.config, fix_necker=True))
+    compute_geometric_constraints(scene, seed=3)
+    i, j = pick_initial_pair(scene, True)
+    recon = setup_initial_pair(scene, i, j, seed=5)
+    run_sfm(recon, scene, remove_outliers=False)
+    pts_before = np.stack(recon.points)
+    # Corrupt the model into the Necker-reversed state (swapped poses);
+    # the fix swaps back, re-triangulates, and re-bundles to the true
+    # configuration.
+    recon.cam_R[0], recon.cam_R[1] = recon.cam_R[1], recon.cam_R[0]
+    p0 = np.array(recon.cam_params[0])
+    p1 = np.array(recon.cam_params[1])
+    p0[0:3], p1[0:3] = p1[0:3].copy(), p0[0:3].copy()
+    recon.cam_params[0], recon.cam_params[1] = p0, p1
+    fix_necker_reversal(recon, scene)
+    assert recon.num_cameras == 2
+    assert len(recon.points) == len(pts_before)
+    # Re-bundled reversed configuration reprojects well.
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for p, views in enumerate(recon.pt_views):
+        for (slot, key) in views:
+            img = recon.added_order[slot]
+            obs_cam.append(slot)
+            obs_pt.append(p)
+            obs_xy.append(scene.key_xy[img][key])
+    pred = np.asarray(project_obs(
+        jnp.asarray(np.stack(recon.cam_params)),
+        jnp.asarray(np.stack(recon.cam_R)),
+        jnp.asarray(np.stack(recon.points)),
+        jnp.asarray(np.array(obs_cam, np.int32)),
+        jnp.asarray(np.array(obs_pt, np.int32))))
+    err = np.linalg.norm(pred - np.array(obs_xy), axis=1)
+    assert np.median(err) < 1.0

@@ -251,3 +251,72 @@ def test_panorama_point_at_infinity(rng):
         assert np.linalg.norm(X - c) == pytest.approx(1.0, abs=1e-9)
         d = dirs[ti] / np.linalg.norm(dirs[ti])
         assert np.allclose((X - c), d, atol=1e-9)
+
+
+def test_knn_plane_normals(rng):
+    from bundler_sfm_tpu.ops.plane import knn_plane_normals
+    pts = plane_points(rng, 100, [0.2, 1.0, 0.0], d=-1.0, noise=0.002)
+    normals = np.asarray(knn_plane_normals(jnp.asarray(pts),
+                                           jnp.ones(100), k=16))
+    gt = np.array([0.2, 1.0, 0.0])
+    gt /= np.linalg.norm(gt)
+    dots = np.abs(normals @ gt)
+    assert (dots > 0.99).mean() > 0.95
+
+
+def test_estimate_point_normals_knn(rng):
+    from bundler_sfm_tpu.export.scene_geometry import estimate_point_normals
+    bundle, centers = make_bundle(rng, n_cams=6, n_pts=40)
+    # Flatten points onto a plane so normals are well-defined.
+    for i, p in enumerate(bundle.points):
+        pos = p.pos.copy()
+        pos[1] = 0.0
+        bundle.points[i] = BundlePoint(pos=pos, color=p.color, views=p.views)
+    normals = estimate_point_normals(bundle, k=12)
+    assert np.allclose(np.abs(normals[:, 1]), 1.0, atol=1e-2)
+
+
+def test_compute_image_rotations(rng):
+    from bundler_sfm_tpu.export.scene_geometry import compute_image_rotations
+    bundle, _ = make_bundle(rng, up=(0.0, 1.0, 0.0))
+    rots = compute_image_rotations(bundle)
+    # Upright cameras need no rotation.
+    assert all(r == 0 for r in rots)
+    # Roll camera 0 by 90 degrees about its optical axis -> quarter turn.
+    c0 = bundle.cameras[0]
+    Rz = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    bundle.cameras[0] = BundleCamera(f=c0.f, k1=0, k2=0, R=Rz @ c0.R,
+                                     t=Rz @ c0.t)
+    rots2 = compute_image_rotations(bundle)
+    assert rots2[0] in (1, 3) and rots2[1] == 0
+
+
+def test_get_point_projections(rng):
+    from bundler_sfm_tpu.export.scene_geometry import get_point_projections
+    bundle, centers = make_bundle(rng, n_cams=4, n_pts=30)
+    projs, kept = get_point_projections(bundle, 0, width=10000, height=10000)
+    assert len(kept) == 30          # all in front and inside a huge image
+    # A tiny image keeps only near-center projections.
+    projs2, kept2 = get_point_projections(bundle, 0, width=2, height=2)
+    assert len(kept2) < 30
+    assert (np.abs(projs2) <= 1.0).all()
+
+
+def test_xml_writers(rng, tmp_path):
+    from bundler_sfm_tpu.io.xmlfile import write_cameras_xml, write_points_xml
+    import xml.dom.minidom as minidom
+    bundle, _ = make_bundle(rng, n_cams=3, n_pts=8)
+    names = [f"img{i}.key" for i in range(3)]
+    cam_path = tmp_path / "cameras.xml"
+    write_cameras_xml(str(cam_path), bundle, names, [(1024, 768)] * 3,
+                      fit_plane=np.array([0.0, 1.0, 0.0, 5.0]))
+    txt = cam_path.read_text()
+    assert txt.count("<camera>") == 3
+    assert "img0.jpg" in txt
+    assert "<p1>" in txt
+    pts_path = tmp_path / "points.xml"
+    write_points_xml(str(pts_path), bundle, min_views=3)
+    # All 8 points seen by 8 cameras >= 3 views; well-formed XML body.
+    body = pts_path.read_text()
+    assert body.count("<point>") == 8
+    minidom.parseString(body[body.index("<points>"):])
