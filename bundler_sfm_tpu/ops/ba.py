@@ -279,11 +279,16 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
     S_off[j,k] = − Σ_i Σ_{a,b ∈ views(i)} Y_a W_bᵀ  (cam(a)=j, cam(b)=k) and
     rhs_off[j] = − Σ_obs Y_o g_p[pt(o)].  These are the pieces that sum over
     points, so in the sharded solver they are what gets psum'd; the caller
-    adds blockdiag(U_aug) and g_c afterwards.  Assembled by scanning over the
-    M×M view-slot pairs so peak memory stays O(P·81), never O(P·M²·81).
+    adds blockdiag(U_aug) and g_c afterwards.
+
+    Two assembly strategies, chosen by static size: small problems build the
+    full [P·M², 9, 9] block tensor and segment-sum it in ONE shot (no
+    sequential steps — sequential scan overhead dominates small BA rounds on
+    TPU); big problems scan over the M view-slot rows so peak memory stays
+    O(P·M·81).
     """
     C = num_cameras
-    M = prob.views_obs.shape[1]
+    P, M = prob.views_obs.shape
     dtype = Y.dtype
 
     cam_of_slot = prob.obs_cam[prob.views_obs]          # [P,M]
@@ -291,26 +296,43 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
     Wp = W[prob.views_obs]                              # [P,M,9,3]
     maskp = prob.views_mask                             # [P,M]
 
+    # ~256 MB f64 budget for the flattened block tensor.
+    flat_ok = P * M * M * CNP * CNP * 8 <= (256 << 20)
+
+    if flat_ok:
+        # blocks[p,m,n] = Y[p,m] · W[p,n]ᵀ — one batched MXU contraction.
+        blocks = jnp.einsum("pmij,pnkj->pmnik", Yp, Wp)  # [P,M,M,9,9]
+        pair_ok = maskp[:, :, None] & maskp[:, None, :]
+        blocks = blocks * pair_ok[:, :, :, None, None]
+        idx = cam_of_slot[:, :, None] * C + cam_of_slot[:, None, :]
+        idx = jnp.where(pair_ok, idx, 0)
+        S_off = -jax.ops.segment_sum(
+            blocks.reshape(P * M * M, CNP, CNP),
+            idx.reshape(P * M * M), num_segments=C * C)
+        S_off = S_off.reshape(C, C, CNP, CNP)
+        contrib = jnp.einsum("oij,oj->oi", Y, g_p[prob.obs_pt])
+        rhs_off = -jax.ops.segment_sum(contrib, prob.obs_cam, num_segments=C)
+        return S_off, rhs_off
+
     # Derive the zero init from Y so its device-varying type matches the
     # scan body's output under shard_map.
     S_off = jnp.zeros((C * C, CNP, CNP), dtype=dtype) + 0.0 * Y[0, 0, 0]
 
-    def slot_pair(carry, mn):
+    def slot_row(carry, m):
         S_off = carry
-        m = mn // M
-        n = mn % M
         ya = Yp[:, m]                                   # [P,9,3]
-        wb = Wp[:, n]                                   # [P,9,3]
-        blocks = jnp.einsum("pij,pkj->pik", ya, wb)     # [P,9,9]
-        pair_ok = maskp[:, m] & maskp[:, n]
-        blocks = blocks * pair_ok[:, None, None]
-        idx = cam_of_slot[:, m] * C + cam_of_slot[:, n]
+        # Row m against ALL slots n at once: [P,M,9,9].
+        blocks = jnp.einsum("pij,pnkj->pnik", ya, Wp)
+        pair_ok = maskp[:, m, None] & maskp             # [P,M]
+        blocks = blocks * pair_ok[:, :, None, None]
+        idx = cam_of_slot[:, m, None] * C + cam_of_slot
         idx = jnp.where(pair_ok, idx, 0)                # masked blocks are 0
-        S_off = S_off.at[idx].add(-blocks)
+        S_off = S_off.at[idx.reshape(-1)].add(
+            -blocks.reshape(P * M, CNP, CNP))
         return S_off, None
 
-    S_off, _ = jax.lax.scan(slot_pair, S_off,
-                            jnp.arange(M * M, dtype=jnp.int32))
+    S_off, _ = jax.lax.scan(slot_row, S_off,
+                            jnp.arange(M, dtype=jnp.int32))
     S_off = S_off.reshape(C, C, CNP, CNP)
 
     # rhs_off = − Σ_obs Y_o g_p[pt(o)]  (per camera).

@@ -183,23 +183,36 @@ def _match_pairs_from_table(table, counts, pi, pj, ratio_sq, block):
     return jax.vmap(one)(pi, pj)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "max_out"))
+@functools.partial(jax.jit, static_argnames=("block", "max_out", "out_dtype"))
 def _match_pairs_from_table_compact(table, counts, pi, pj, ratio_sq,
-                                    block, max_out):
-    """Like _match_pairs_from_table but compacts accepted matches ON DEVICE
-    to fixed-size [B, max_out, 2] + count — tiny host transfers, no host
-    nonzero scan (matters on slow host links)."""
+                                    block, max_out, out_dtype=jnp.int32):
+    """Like _match_pairs_from_table but dedups (PruneDoubleMatches,
+    src/MatchTracks.cpp:394-452: first match claiming each target key wins)
+    and compacts accepted matches ON DEVICE to fixed-size [B, max_out, 2]
+    + count — tiny host transfers, no host nonzero/unique scans (matters on
+    slow host links).  out_dtype=int16 halves the transfer when the key
+    count fits."""
+    K = table.shape[1]
+
     def one(i, j):
         d0, i0, d1 = two_nn(table[i], table[j], counts[j], block=block)
         acc = _ratio_accept(d0, d1, counts[i], ratio_sq)
-        # Stable partition: accepted query indices first, in ascending order.
-        order = jnp.argsort(~acc, stable=True)
+        nq = acc.shape[0]
+        qidx = jnp.arange(nq, dtype=jnp.int32)
+        # On-device keep-first dedup: the lowest query index claiming each
+        # target key wins (matches the host prune's scan order).
+        claimer = jax.ops.segment_min(jnp.where(acc, qidx, nq), i0,
+                                      num_segments=K)
+        keep = acc & (claimer[i0] == qidx)
+        # Stable partition: kept query indices first, in ascending order.
+        order = jnp.argsort(~keep, stable=True)
         sel = order[:max_out].astype(jnp.int32)
-        cnt = jnp.sum(acc)
+        cnt = jnp.sum(keep)
         valid_slots = jnp.arange(max_out) < cnt
         idx1 = jnp.where(valid_slots, sel, -1)
         idx2 = jnp.where(valid_slots, i0[sel], -1)
-        return jnp.stack([idx1, idx2], axis=1), jnp.minimum(cnt, max_out)
+        out = jnp.stack([idx1, idx2], axis=1).astype(out_dtype)
+        return out, jnp.minimum(cnt, max_out)
     return jax.vmap(one)(pi, pj)
 
 
@@ -226,6 +239,9 @@ class DescriptorTable:
                     max_out: int = 2048) -> "Dict[Tuple[int,int], np.ndarray]":
         out: Dict[Tuple[int, int], np.ndarray] = {}
         max_out = min(max_out, self.table.shape[1])
+        # int16 halves the device->host transfer when indices fit (the key
+        # dimension is padded to `block`, typically 2048 << 32768).
+        out_dtype = jnp.int16 if self.table.shape[1] <= 32767 else jnp.int32
         results = []
         for start in range(0, len(pairs), batch):
             chunk = list(pairs[start:start + batch])
@@ -236,14 +252,15 @@ class DescriptorTable:
             pj = jnp.asarray(np.array([j for _, j in chunk], np.int32))
             m, cnt = _match_pairs_from_table_compact(
                 self.table, self.counts, pi, pj,
-                jnp.float32(ratio * ratio), self.block, max_out)
+                jnp.float32(ratio * ratio), self.block, max_out,
+                out_dtype)
             results.append((chunk[:n_real], m, cnt))
         # Fetch after all batches are enqueued (overlaps device + transfer).
         for chunk, m, cnt in results:
             m = np.asarray(m)
             cnt = np.asarray(cnt)
             for p, (i, j) in enumerate(chunk):
-                mm = prune_double_matches(m[p, :cnt[p]])
+                mm = m[p, :cnt[p]].astype(np.int32)  # already deduped on device
                 if len(mm) >= min_matches:
                     out[(i, j)] = mm
         return out
