@@ -114,6 +114,14 @@ class BundlerConfig:
     ann_max_pts_visit: int = 400  # kept for CLI parity; MXU matcher is exact
 
     # ---- TPU-specific execution knobs (no reference analogue) ----
+    # In-process SIFT detector (replaces the external `sift` binary the
+    # reference shells out to).  contrast_thr 0.02 (vs Lowe's 0.04)
+    # compensates for the single-step sub-pixel refinement: on kermit/ET it
+    # brings key counts and reconstruction density to (or past) what the
+    # reference gets from Lowe's binary.
+    sift_max_keys: int = 4096
+    sift_contrast_thr: float = 0.02
+    sift_edge_thr: float = 10.0
     match_block_keys: int = 1024   # keys per MXU matcher block
     ba_dtype: str = "float64"      # bundle-adjustment precision
     ransac_dtype: str = "float32"  # hypothesis scoring precision

@@ -84,7 +84,8 @@ def build_octave(base: jnp.ndarray, num_scales: int = NUM_SCALES):
     return gauss, dog, mag, ori
 
 
-def _neighborhood_extrema(dog: jnp.ndarray) -> jnp.ndarray:
+def _neighborhood_extrema(dog: jnp.ndarray,
+                          contrast_thr=CONTRAST_THR) -> jnp.ndarray:
     """Bool mask [s, H, W] of 26-neighborhood extrema for the middle scales."""
     s2, H, W = dog.shape
     # 3x3x3 max/min via shifted comparisons.
@@ -102,7 +103,7 @@ def _neighborhood_extrema(dog: jnp.ndarray) -> jnp.ndarray:
     nb = shifts(dog)                               # [26, s+2, H, W]
     is_max = (dog > nb.max(axis=0))
     is_min = (dog < nb.min(axis=0))
-    ext = (is_max | is_min) & (jnp.abs(dog) > 0.5 * CONTRAST_THR / NUM_SCALES)
+    ext = (is_max | is_min) & (jnp.abs(dog) > 0.5 * contrast_thr / NUM_SCALES)
     ext = ext[1:-1]                                # middle scales only
     # Kill borders (roll wraps around) and a safety margin.
     B = 5
@@ -112,14 +113,16 @@ def _neighborhood_extrema(dog: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("max_keys",))
-def detect_octave(base: jnp.ndarray, max_keys: int):
+def detect_octave(base: jnp.ndarray, max_keys: int,
+                  contrast_thr=CONTRAST_THR, edge_thr=EDGE_THR):
     """Detect + refine keypoints in one octave.
 
     Returns (xys [K,2] octave coords, scale_sigma [K], scale_idx [K],
     valid [K], response [K], mag, ori stacks) — padded to max_keys.
+    contrast_thr/edge_thr are traced (no recompile when tuned).
     """
     gauss, dog, mag, ori = build_octave(base)
-    ext = _neighborhood_extrema(dog)               # [s, H, W]
+    ext = _neighborhood_extrema(dog, contrast_thr)  # [s, H, W]
     s, H, W = ext.shape
     score = jnp.where(ext, jnp.abs(dog[1:-1]), 0.0)
     flat = score.reshape(-1)
@@ -153,8 +156,8 @@ def detect_octave(base: jnp.ndarray, max_keys: int):
         tr = dyy + dxx
         det = dyy * dxx - dyx * dyx
         edge_ok = (det > 0) & (tr * tr / jnp.maximum(det, 1e-12)
-                               < (EDGE_THR + 1) ** 2 / EDGE_THR)
-        ok = (jnp.abs(contrast) > CONTRAST_THR / NUM_SCALES) & edge_ok
+                               < (edge_thr + 1) ** 2 / edge_thr)
+        ok = (jnp.abs(contrast) > contrast_thr / NUM_SCALES) & edge_ok
         return off, ok
 
     si1 = si + 1  # index into dog's full scale axis
@@ -280,14 +283,16 @@ def descriptor(m, o, fx, fy, sigma, theta):
 
 
 @functools.partial(jax.jit, static_argnames=("max_keys",))
-def extract_octave(base: jnp.ndarray, max_keys: int):
+def extract_octave(base: jnp.ndarray, max_keys: int,
+                   contrast_thr=CONTRAST_THR, edge_thr=EDGE_THR):
     """Full per-octave pipeline: detect, orient, describe.
 
     Returns (info [K,4] = x, y, sigma, theta in octave coords; desc [K,128];
     valid [K]) for up to max_keys keypoints with the dominant orientation
     plus up to one secondary orientation each (packed into 2*max_keys rows).
     """
-    xs, ys, sig, lvl, valid, resp, mag, ori = detect_octave(base, max_keys)
+    xs, ys, sig, lvl, valid, resp, mag, ori = detect_octave(
+        base, max_keys, contrast_thr, edge_thr)
     H, W = base.shape
     # Clamp so the PATCH window stays inside the image.
     margin = PATCH // 2 + 1
@@ -319,11 +324,16 @@ def extract_octave(base: jnp.ndarray, max_keys: int):
 
 
 def extract_sift(image: np.ndarray, max_keys_total: int = 4096,
-                 upsample: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+                 upsample: bool = True,
+                 contrast_thr: float = CONTRAST_THR,
+                 edge_thr: float = EDGE_THR
+                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Extract SIFT keys from a grayscale image [H, W] (uint8 or float 0-255).
 
     Returns (info [n,4] = x(col), y(row), scale, orientation in ORIGINAL image
     coords, desc [n,128] uint8) — same contents as a Lowe .key file.
+    contrast_thr/edge_thr tune detector sensitivity (Lowe defaults 0.04/10);
+    they are traced scalars, so sweeping them does not recompile.
     """
     img = jnp.asarray(image, jnp.float32) / 255.0
     if upsample:
@@ -341,7 +351,8 @@ def extract_sift(image: np.ndarray, max_keys_total: int = 4096,
     octave = 0
     while min(base.shape) >= 2 * PATCH and octave < 6:
         k = max(256, max_keys_total // (2 ** octave))
-        info, desc, valid = extract_octave(base, k)
+        info, desc, valid = extract_octave(
+            base, k, jnp.float32(contrast_thr), jnp.float32(edge_thr))
         info = np.asarray(info)
         desc = np.asarray(desc)
         valid = np.asarray(valid)

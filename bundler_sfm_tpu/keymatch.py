@@ -21,7 +21,7 @@ def match_full(key_files: List[str], window_radius: int = -1,
                ratio: float = 0.6, min_matches: int = 16,
                batch: int = 16, block: int = 1024):
     from bundler_sfm_tpu.io.keyfile import read_key_file
-    from bundler_sfm_tpu.ops.matching import match_pairs_batched
+    from bundler_sfm_tpu.ops.matching import DescriptorTable
 
     descs = []
     t0 = time.time()
@@ -43,8 +43,11 @@ def match_full(key_files: List[str], window_radius: int = -1,
                 pairs.append((j, i))
     from bundler_sfm_tpu.utils import counter, get_telemetry
     t0 = time.time()
-    out = match_pairs_batched(descs, pairs, ratio=ratio, batch=batch,
-                              block=block, min_matches=min_matches)
+    # One descriptor upload, then device-side gather/dedup/compaction per
+    # pair batch — the host link never sees the padded stacks again.
+    table = DescriptorTable(descs, block=block)
+    out = table.match_pairs(pairs, ratio=ratio, batch=batch,
+                            min_matches=min_matches)
     dt = time.time() - t0
     counter("pairs_matched", len(pairs))
     get_telemetry().add_time("match", dt)

@@ -37,6 +37,8 @@ def main(argv=None) -> int:
     p.add_argument("--window", type=int, default=-1,
                    help="match window radius (RunBundler.sh MATCH_WINDOW_RADIUS)")
     p.add_argument("--max_keys", type=int, default=4096)
+    p.add_argument("--contrast_thr", type=float, default=0.02,
+                   help="SIFT DoG contrast threshold (Lowe's binary: 0.04)")
     p.add_argument("--write_keys", action="store_true",
                    help="also write .key.gz files")
     p.add_argument("--seed", type=int, default=0)
@@ -79,7 +81,8 @@ def main(argv=None) -> int:
     t0 = time.time()
     for e in entries:
         gray = load_grayscale(e.name)
-        info, desc = extract_sift(gray, max_keys_total=args.max_keys)
+        info, desc = extract_sift(gray, max_keys_total=args.max_keys,
+                                  contrast_thr=args.contrast_thr)
         infos.append(info)
         descs.append(desc)
         dims.append((gray.shape[1], gray.shape[0]))

@@ -36,7 +36,8 @@ def test_et_end_to_end(tmp_path):
     for name in images:
         path = os.path.join(ET_DIR, name)
         gray = load_grayscale(path)
-        info, desc = extract_sift(gray, max_keys_total=4096)
+        info, desc = extract_sift(gray, max_keys_total=4096,
+                                  contrast_thr=0.02)
         infos.append(info)
         descs.append(desc)
         dims.append((gray.shape[1], gray.shape[0]))
@@ -62,11 +63,13 @@ def test_et_end_to_end(tmp_path):
     recon = bundle_adjust_fast(scene, out_dir=str(tmp_path), seed=0)
     n_cams = recon.num_cameras
     n_pts = sum(1 for v in recon.pt_views if v)
-    assert n_cams >= 4, f"registered only {n_cams} cameras"
-    assert n_pts >= 250, f"only {n_pts} points"
+    # At the 4096-key / 0.02-contrast budget this pipeline registers all
+    # 9 ET cameras with ~1662 points at 0.20 px mean reprojection error.
+    assert n_cams >= 8, f"registered only {n_cams} cameras"
+    assert n_pts >= 1200, f"only {n_pts} points"
 
     err = run_sfm(recon, scene, remove_outliers=False, verbose=False)
-    assert err < 1.0, f"mean reprojection error {err}"
+    assert err < 0.6, f"mean reprojection error {err}"
 
     # Optimized focals should stay near the EXIF prior (661.6 px).
     f_est = [recon.cam_params[s][6] for s in range(n_cams)]

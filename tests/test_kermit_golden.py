@@ -41,7 +41,8 @@ def test_kermit_end_to_end(tmp_path):
     infos, descs, dims = [], [], []
     for name in images:
         gray = load_grayscale(os.path.join(KERMIT_DIR, name))
-        info, desc = extract_sift(gray, max_keys_total=4096)
+        info, desc = extract_sift(gray, max_keys_total=4096,
+                                  contrast_thr=0.02)
         infos.append(info)
         descs.append(desc)
         dims.append((gray.shape[1], gray.shape[0]))
@@ -63,10 +64,11 @@ def test_kermit_end_to_end(tmp_path):
     recon = bundle_adjust_fast(scene, out_dir=str(tmp_path), seed=0)
     n_cams = recon.num_cameras
     n_pts = sum(1 for v in recon.pt_views if v)
-    # Golden run registered 9/11 cameras with 634 points; at a 4096-key
-    # budget this pipeline reaches 9 cameras / ~576 points.
+    # Golden run registered 9/11 cameras with 634 points; at a 4096-key /
+    # 0.02-contrast budget this pipeline reaches 9 cameras / ~829 points —
+    # denser than the golden reconstruction.
     assert n_cams >= 9, f"registered only {n_cams} cameras"
-    assert n_pts >= 450, f"only {n_pts} points"
+    assert n_pts >= 650, f"only {n_pts} points"
 
     # Mean reprojection error of the final model should be at the golden
     # bundle's quality level (~0.5 px RMS).
