@@ -307,9 +307,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
 
     os.makedirs(args.output_dir, exist_ok=True)
-    # constraints.txt checkpoint, like the reference (BundlerGeometry.cpp:105).
+    # constraints.txt checkpoint, like the reference (BundlerGeometry.cpp:105);
+    # .prune/.ransac/.corresp match-table snapshots for <40000 images
+    # (BundlerGeometry.cpp:112-188).
+    snap = "." if scene.num_images < 40000 else None
     compute_geometric_constraints(scene, seed=args.seed,
-                                  cache_path="constraints.txt")
+                                  cache_path="constraints.txt",
+                                  snapshot_dir=snap)
     print(f"[bundler] {len(scene.tracks)} tracks")
 
     if args.bundle:

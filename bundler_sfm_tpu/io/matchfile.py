@@ -39,3 +39,52 @@ def write_match_file(path: str, matches: MatchDict) -> None:
             f.write(f"{i1} {i2}\n{len(pairs)}\n")
             for a, b in pairs:
                 f.write(f"{a} {b}\n")
+
+
+def write_match_table(num_images: int, matches: MatchDict,
+                      suffix: str = "", directory: str = ".") -> None:
+    """Match-table snapshot: `nmatches<suffix>.txt` (N then the N×N count
+    matrix, upper triangle populated) + `matches<suffix>.txt` (one line of
+    `k1 k2 ...` per cell with i >= j or a matched i < j pair — the exact
+    layout of `WriteMatchTable`, `src/BundleIO.cpp:1044-1095`, which the
+    reference dumps at the .prune/.ransac/.corresp stages of
+    `ComputeGeometricConstraints`, `src/BundlerGeometry.cpp:113,152,188`)."""
+    import os
+    with open(os.path.join(directory, f"nmatches{suffix}.txt"), "w") as f0, \
+         open(os.path.join(directory, f"matches{suffix}.txt"), "w") as f1:
+        f0.write(f"{num_images}\n")
+        for i in range(num_images):
+            for j in range(num_images):
+                if i >= j:
+                    f0.write("0 ")
+                    f1.write("\n")
+                elif (i, j) in matches:
+                    pairs = matches[(i, j)]
+                    f0.write(f"{len(pairs)} ")
+                    f1.write("".join(f"{a} {b} " for a, b in pairs) + "\n")
+                else:
+                    f0.write("0 ")
+            f0.write("\n")
+
+
+def read_match_table(num_images: int, suffix: str = "",
+                     directory: str = ".") -> MatchDict:
+    """Inverse of `write_match_table` (`ReadMatchTable`,
+    `src/BundleIO.cpp:976-1042`)."""
+    import os
+    with open(os.path.join(directory, f"nmatches{suffix}.txt")) as f0:
+        tokens = f0.read().split()
+    assert int(tokens[0]) == num_images
+    counts = np.array(tokens[1:], dtype=np.int64).reshape(num_images,
+                                                          num_images)
+    matches: MatchDict = {}
+    with open(os.path.join(directory, f"matches{suffix}.txt")) as f1:
+        lines = iter(f1)
+        for i in range(num_images):
+            for j in range(num_images):
+                if i >= j:
+                    next(lines, "")
+                elif counts[i, j] > 0:
+                    flat = np.array(next(lines).split(), dtype=np.int32)
+                    matches[(i, j)] = flat.reshape(-1, 2)
+    return matches

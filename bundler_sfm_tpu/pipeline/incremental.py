@@ -869,26 +869,16 @@ def bundle_adjust_slow(scene: Scene, out_dir: Optional[str] = None,
     return recon
 
 
-def write_match_table(scene: Scene, append: str = "") -> None:
+def write_match_table(scene: Scene, append: str = "",
+                      directory: str = ".") -> None:
     """Match-table snapshot nmatches<ext>.txt / matches<ext>.txt
     (`WriteMatchTable`, src/BundleIO.cpp:1044-1111)."""
-    n = scene.num_images
-    with open(f"nmatches{append}.txt", "w") as f0, \
-            open(f"matches{append}.txt", "w") as f1:
-        f0.write(f"{n}\n")
-        for i in range(n):
-            for j in range(n):
-                if i >= j:
-                    f0.write("0 ")
-                    f1.write("\n")
-                else:
-                    m = scene.matches.get((i, j))
-                    if m is None or len(m) == 0:
-                        f0.write("0 ")
-                    else:
-                        f0.write(f"{len(m)} ")
-                        f1.write(" ".join(f"{a} {b}" for a, b in m) + " \n")
-            f0.write("\n")
+    from bundler_sfm_tpu.io.matchfile import (
+        write_match_table as _write_table,
+    )
+    nonempty = {p: m for p, m in scene.matches.items()
+                if m is not None and len(m)}
+    _write_table(scene.num_images, nonempty, append, directory)
 
 
 # --------------------------------------------------------------------------

@@ -173,18 +173,22 @@ def compute_transforms(scene: Scene, seed: int = 1, batch: int = 16) -> None:
 
 def compute_geometric_constraints(scene: Scene, seed: int = 0,
                                   cache_path=None,
-                                  overwrite: bool = False) -> None:
+                                  overwrite: bool = False,
+                                  snapshot_dir=None) -> None:
     """The full verification stage (`ComputeGeometricConstraints`,
     `src/BundlerGeometry.cpp:99-194`): F filter → H score → symmetric lists
     → tracks → per-image track tables.
 
     With `cache_path` set, behaves like the reference's constraints.txt
     checkpoint (`:105-108`): load it if present (unless overwrite), write it
-    after computing."""
+    after computing.  With `snapshot_dir` set, dumps the match table at the
+    .prune / .ransac / .corresp stages like the reference
+    (`WriteMatchTable`, `src/BundlerGeometry.cpp:113,152,188`)."""
     import os
     from bundler_sfm_tpu.io.constraints import (
         read_geometric_constraints, write_geometric_constraints,
     )
+    from bundler_sfm_tpu.io.matchfile import write_match_table
     from bundler_sfm_tpu.utils import counter, get_telemetry
     if cache_path and not overwrite and os.path.exists(cache_path):
         read_geometric_constraints(cache_path, scene)
@@ -192,6 +196,9 @@ def compute_geometric_constraints(scene: Scene, seed: int = 0,
     cfg = scene.config
     counter("pairs_verified", len(scene.matches))
     _t0 = time.perf_counter()
+    if snapshot_dir is not None:
+        write_match_table(scene.num_images, scene.matches, ".prune",
+                          snapshot_dir)
     # Border-match filters (`RemoveMatchesNearBorder`/`...NearBottom`,
     # `src/BundlerGeometry.cpp:119-139, 752-845`).
     if cfg.keypoint_border_width > 0 or cfg.keypoint_border_bottom > 0:
@@ -200,6 +207,9 @@ def compute_geometric_constraints(scene: Scene, seed: int = 0,
         compute_epipolar_geometry(scene, seed=seed)
     if not cfg.skip_homographies:
         compute_transforms(scene, seed=seed)
+    if snapshot_dir is not None:
+        write_match_table(scene.num_images, scene.matches, ".ransac",
+                          snapshot_dir)
     scene.matches = symmetrize(scene.matches)
     try:
         from bundler_sfm_tpu import native
@@ -221,3 +231,15 @@ def compute_geometric_constraints(scene: Scene, seed: int = 0,
     get_telemetry().add_time("verify", time.perf_counter() - _t0)
     if cache_path:
         write_geometric_constraints(cache_path, scene)
+    if snapshot_dir is not None:
+        # .corresp: the covisibility pair set derived from tracks, with the
+        # match lists cleared — exactly the state the reference snapshots
+        # after RemoveAllMatches + SetMatch flags (BundlerGeometry.cpp:160-188).
+        covis = {}
+        empty = np.zeros((0, 2), np.int32)
+        for t in scene.tracks:
+            views = sorted(img for img, _ in t)
+            for a in range(len(views)):
+                for b in range(a + 1, len(views)):
+                    covis[(views[a], views[b])] = empty
+        write_match_table(scene.num_images, covis, ".corresp", snapshot_dir)

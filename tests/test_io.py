@@ -201,3 +201,21 @@ def test_create_match_script(capsys):
     assert len(lines) == 3
     assert lines[0] == "KeyMatch keys/img1.key keys/img2.key m/match-000-001.txt"
     assert lines[2] == "KeyMatch keys/img2.key keys/img3.key m/match-001-002.txt"
+
+
+def test_match_table_roundtrip(tmp_path, rng):
+    from bundler_sfm_tpu.io.matchfile import (
+        read_match_table, write_match_table,
+    )
+    matches = {
+        (0, 1): rng.integers(0, 500, (37, 2)).astype(np.int32),
+        (0, 3): rng.integers(0, 500, (5, 2)).astype(np.int32),
+        (2, 3): rng.integers(0, 500, (120, 2)).astype(np.int32),
+    }
+    write_match_table(4, matches, ".ransac", str(tmp_path))
+    assert (tmp_path / "nmatches.ransac.txt").exists()
+    assert (tmp_path / "matches.ransac.txt").exists()
+    back = read_match_table(4, ".ransac", str(tmp_path))
+    assert set(back) == set(matches)
+    for p in matches:
+        assert np.array_equal(back[p], matches[p])
