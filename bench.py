@@ -84,9 +84,16 @@ def bench_ba():
     prob = build_problem(R0, cam0, pts0, oc, op, oxy, est_focal=True,
                          est_distortion=True, dtype=np.float32)
     res = run_ba(prob, max_iters=30)   # compile
+    float(np.asarray(res.cost))
+    # Perturb the inputs for the timed run: the remote-TPU path memoizes
+    # identical (executable, inputs) pairs, and its block_until_ready is not
+    # a reliable sync — time a fresh problem and sync via a host transfer.
+    prob2 = build_problem(R0, cam0 + 1e-6, pts0, oc, op, oxy,
+                          est_focal=True, est_distortion=True,
+                          dtype=np.float32)
     t0 = time.perf_counter()
-    res = run_ba(prob, max_iters=30)
-    res.cost.block_until_ready()
+    res = run_ba(prob2, max_iters=30)
+    float(np.asarray(res.cost))
     dt = time.perf_counter() - t0
     return int(res.iters) * len(oc) / dt, dt / max(int(res.iters), 1)
 

@@ -201,6 +201,63 @@ def build_problem(
 # Normal equations
 # --------------------------------------------------------------------------
 
+# Max one-hot elements for matmul-based segment sums (f32: 512 MB).
+_ONEHOT_BUDGET = 1 << 27
+
+
+def _segsum_onehot(data, seg, num_segments: int):
+    """Segment-sum via a one-hot MXU contraction.
+
+    TPU scatters serialize on colliding indices — with O(10^4-10^5)
+    observations binned into a handful of cameras, XLA's scatter-add is the
+    LM iteration's bottleneck.  A [N, S] 0/1 matrix contracted against the
+    flattened data is exact (weights are 0/1, f32 accumulation) and rides
+    the MXU.  Falls back to segment_sum when the one-hot would be too big.
+    """
+    N = data.shape[0]
+    if N * num_segments > _ONEHOT_BUDGET:
+        return jax.ops.segment_sum(data, seg, num_segments=num_segments)
+    flat = data.reshape(N, -1)
+    iota = jnp.arange(num_segments, dtype=seg.dtype)
+    onehot = (seg[:, None] == iota[None, :]).astype(flat.dtype)
+    out = jax.lax.dot_general(onehot, flat,
+                              dimension_numbers=(((0,), (0,)), ((), ())))
+    return out.reshape((num_segments,) + data.shape[1:])
+
+
+def _point_sum(data, prob: BAProblem):
+    """Per-point sum of per-observation data via the padded view table —
+    a gather + masked reduce, no scatter at all (the [P, M] views_obs table
+    already inverts obs_pt)."""
+    g = data[prob.views_obs]                        # [P, M, ...]
+    mask = prob.views_mask
+    mask = mask.reshape(mask.shape + (1,) * (g.ndim - 2))
+    return jnp.sum(g * mask, axis=1)
+
+
+def _inv3(V):
+    """Closed-form batched 3×3 inverse (adjugate/det) — jnp.linalg.inv's
+    batched LU is slow on TPU for tiny matrices; V_aug is damped SPD so the
+    determinant is safely nonzero."""
+    a, b, c = V[:, 0, 0], V[:, 0, 1], V[:, 0, 2]
+    d, e, f = V[:, 1, 0], V[:, 1, 1], V[:, 1, 2]
+    g, h, i = V[:, 2, 0], V[:, 2, 1], V[:, 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    Cc = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    M = jnp.stack([jnp.stack([A, B, Cc], -1),
+                   jnp.stack([D, E, F], -1),
+                   jnp.stack([G, H, I], -1)], axis=1)
+    return M / det[:, None, None]
+
+
 def _residuals(cam, pts, prob: BAProblem):
     def one(ci, pi, xy, valid):
         pred = project_one(cam[ci], prob.R0[ci], pts[pi])
@@ -248,15 +305,11 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
     A = A * prob.cam_mask[prob.obs_cam][:, None, :]
     if fix_points:
         B = B * 0.0
-    U = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", A, A),
-                            prob.obs_cam, num_segments=C)
-    V = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", B, B),
-                            prob.obs_pt, num_segments=P)
+    U = _segsum_onehot(jnp.einsum("oki,okj->oij", A, A), prob.obs_cam, C)
+    V = _point_sum(jnp.einsum("oki,okj->oij", B, B), prob)
     W = jnp.einsum("oki,okj->oij", A, B)
-    g_c = -jax.ops.segment_sum(jnp.einsum("oki,ok->oi", A, r),
-                               prob.obs_cam, num_segments=C)
-    g_p = -jax.ops.segment_sum(jnp.einsum("oki,ok->oi", B, r),
-                               prob.obs_pt, num_segments=P)
+    g_c = -_segsum_onehot(jnp.einsum("oki,ok->oi", A, r), prob.obs_cam, C)
+    g_p = -_point_sum(jnp.einsum("oki,ok->oi", B, r), prob)
     cost = rcost
 
     # Camera constraints (sba.h:82-90).
@@ -306,12 +359,11 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
         blocks = blocks * pair_ok[:, :, :, None, None]
         idx = cam_of_slot[:, :, None] * C + cam_of_slot[:, None, :]
         idx = jnp.where(pair_ok, idx, 0)
-        S_off = -jax.ops.segment_sum(
-            blocks.reshape(P * M * M, CNP, CNP),
-            idx.reshape(P * M * M), num_segments=C * C)
+        S_off = -_segsum_onehot(blocks.reshape(P * M * M, CNP, CNP),
+                                idx.reshape(P * M * M), C * C)
         S_off = S_off.reshape(C, C, CNP, CNP)
         contrib = jnp.einsum("oij,oj->oi", Y, g_p[prob.obs_pt])
-        rhs_off = -jax.ops.segment_sum(contrib, prob.obs_cam, num_segments=C)
+        rhs_off = -_segsum_onehot(contrib, prob.obs_cam, C)
         return S_off, rhs_off
 
     # Derive the zero init from Y so its device-varying type matches the
@@ -337,7 +389,7 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
 
     # rhs_off = − Σ_obs Y_o g_p[pt(o)]  (per camera).
     contrib = jnp.einsum("oij,oj->oi", Y, g_p[prob.obs_pt])
-    rhs_off = -jax.ops.segment_sum(contrib, prob.obs_cam, num_segments=C)
+    rhs_off = -_segsum_onehot(contrib, prob.obs_cam, C)
     return S_off, rhs_off
 
 
@@ -408,9 +460,8 @@ def solve_schur_cg(S, rhs, max_iters: int = 100, tol: float = 1e-8):
 
 def back_substitute(Vinv, W, g_p, dcam, prob: BAProblem):
     """dp_i = V_i⁻¹ (g_p_i − Σ_{o∈views(i)} W_oᵀ dcam[cam(o)])."""
-    P = Vinv.shape[0]
     wc = jnp.einsum("oji,oj->oi", W, dcam[prob.obs_cam])  # [O,3]
-    acc = jax.ops.segment_sum(wc, prob.obs_pt, num_segments=P)
+    acc = _point_sum(wc, prob)
     return jnp.einsum("pij,pj->pi", Vinv, g_p - acc)
 
 
@@ -443,7 +494,7 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
         frozen = 1.0 - prob.cam_mask
         U_aug = U + jax.vmap(jnp.diag)(frozen) + mu * eyec[None]
         V_aug = V + (mu + 1e-12) * eyep[None]
-        Vinv = jnp.linalg.inv(V_aug)
+        Vinv = _inv3(V_aug)
         Y = jnp.einsum("oij,ojk->oik", W, Vinv[prob.obs_pt])
         S, rhs = assemble_schur(U_aug, Y, W, g_c, g_p, prob)
         if solver == "cg":

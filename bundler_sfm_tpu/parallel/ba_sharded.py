@@ -122,7 +122,7 @@ def run_ba_sharded(prob: BAProblem, mesh: Mesh, max_iters: int = 100,
             frozen = 1.0 - local.cam_mask
             U_aug = U + jax.vmap(jnp.diag)(frozen) + mu * eyec[None]
             V_aug = V + (mu + 1e-12) * eyep[None]
-            Vinv = jnp.linalg.inv(V_aug)
+            Vinv = _ba._inv3(V_aug)
             Y = jnp.einsum("oij,ojk->oik", W, Vinv[local.obs_pt])
             C = U_aug.shape[0]
             S_off, rhs_off = assemble_schur_off(Y, W, g_p, local, C)
