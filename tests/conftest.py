@@ -18,14 +18,28 @@ import jax  # noqa: E402
 # The axon sitecustomize registers its TPU-tunnel backend and force-sets
 # jax_platforms="axon,cpu" AFTER env vars are read — override it back.
 jax.config.update("jax_platforms", "cpu")
-# Persistent compile cache for the e2e tests.  MUST be a separate directory
-# from the TPU bench cache: the axon remote-compile helper stores XLA:CPU AOT
-# artifacts built for ITS machine's CPU features, and loading them here
-# causes SIGILL/slow fallbacks ("Machine type used for XLA:CPU compilation
-# doesn't match").
+# Persistent compile cache for the e2e tests.  MUST be (a) separate from the
+# TPU bench cache — the axon remote-compile helper stores XLA:CPU AOT
+# artifacts built for ITS machine — and (b) keyed by THIS machine's CPU
+# features: sessions migrate between hosts, and deserializing an AOT CPU
+# executable compiled for different CPU features segfaults inside
+# compilation_cache.get_executable_and_time.
+import hashlib
+
+def _cpu_fingerprint():
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache_cpu"))
+                      os.path.abspath(__file__))),
+                      f".jax_cache_cpu_{_cpu_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
