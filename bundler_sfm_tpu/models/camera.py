@@ -235,3 +235,79 @@ def point_above_horizon(horizon: np.ndarray, p: np.ndarray) -> np.ndarray:
     p = np.asarray(p, dtype=float)
     return (horizon[0] * p[..., 0] + horizon[1] * p[..., 1] +
             horizon[2]) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Viewer helpers (src/Camera.cpp:470-600, 862-917)
+# ---------------------------------------------------------------------------
+
+def _quat_from_matrix(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix → unit quaternion (w, x, y, z), Shepperd's method."""
+    R = np.asarray(R, float)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-16)) * 2
+    q = np.empty(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def _quat_to_matrix(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def interpolate_cameras(R1, t1, R2, t2, alpha: float
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Pose between two cameras: lerp of centers + normalized-lerp of pose
+    quaternions with hemisphere alignment (`InterpolateCameras`,
+    `src/Camera.cpp:470-530`).  Returns (R, t) at parameter alpha∈[0,1]."""
+    c = (1.0 - alpha) * camera_center(R1, t1) + \
+        alpha * camera_center(R2, t2)
+    q1 = _quat_from_matrix(np.asarray(R1, float).T)   # pose = cam→world
+    q2 = _quat_from_matrix(np.asarray(R2, float).T)
+    if q1 @ q2 < 0.0:
+        q2 = -q2
+    q = (1.0 - alpha) * q1 + alpha * q2
+    R = _quat_to_matrix(q).T                           # back to world→cam
+    return R, -R @ c
+
+
+def up_camera(R: np.ndarray, t: np.ndarray, up: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Roll the camera about its optical axis so the given world up vector
+    has no image-x component (`CameraInfo::GetUpCamera`,
+    `src/Camera.cpp:862-917`): rotate the camera frame by the angle between
+    the image-projected up vector and the image y-axis, keeping the
+    position fixed."""
+    R = np.asarray(R, float)
+    c = camera_center(R, t)
+    up_img = R @ np.asarray(up, dtype=float)
+    proj = np.array([up_img[0], up_img[1], 0.0])
+    proj = proj / np.linalg.norm(proj)
+    angle = np.arccos(np.clip(proj[1], -1.0, 1.0))
+    axis = np.cross(proj, [0.0, 1.0, 0.0])
+    nrm = np.linalg.norm(axis)
+    if nrm < 1e-12:
+        return R.copy(), -R @ c
+    axis = axis / nrm
+    # Rodrigues for rotation of -angle about axis, transposed application
+    # (reference composes Rrollᵀ·R, src/Camera.cpp:903).
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    Rroll = np.eye(3) + np.sin(-angle) * K + (1 - np.cos(-angle)) * (K @ K)
+    Rnew = Rroll.T @ R
+    return Rnew, -Rnew @ c

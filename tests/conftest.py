@@ -36,11 +36,15 @@ def _cpu_fingerprint():
         pass
     return "generic"
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))),
-                      f".jax_cache_cpu_{_cpu_fingerprint()}"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if os.environ.get("BUNDLER_TEST_NO_CACHE"):
+    # Debug escape hatch: skip the persistent cache entirely.
+    pass
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))),
+                          f".jax_cache_cpu_{_cpu_fingerprint()}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -58,3 +62,14 @@ def _clear_jit_cache_after_slow(request):
     yield
     if request.node.get_closest_marker("slow") is not None:
         jax.clear_caches()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jit_cache_per_module():
+    """XLA:CPU segfaults (deterministically, inside compile/deserialize of a
+    later executable) once a single process accumulates the whole suite's
+    executables — reproduced with and without the persistent cache.  Bound
+    the accumulation by dropping jit caches between test modules; the disk
+    cache keeps cross-module recompiles cheap."""
+    yield
+    jax.clear_caches()

@@ -177,3 +177,34 @@ def test_vanishing_line_tilted_camera():
         # (covers directions parallel to the image plane, p.z = 0).
         h = np.array([f * p[0], f * p[1], -p[2]])
         assert abs(line @ h) < 1e-6 * f * np.linalg.norm(h)
+
+
+def test_interpolate_cameras():
+    R1, t1 = make_cam([0.0, 0.0, 5.0])
+    R2, t2 = make_cam([5.0, 0.0, 0.0])
+    # Endpoints reproduce the inputs.
+    Ra, ta = cam.interpolate_cameras(R1, t1, R2, t2, 0.0)
+    np.testing.assert_allclose(Ra, R1, atol=1e-9)
+    np.testing.assert_allclose(ta, t1, atol=1e-9)
+    Rb, tb = cam.interpolate_cameras(R1, t1, R2, t2, 1.0)
+    np.testing.assert_allclose(Rb, R2, atol=1e-9)
+    # Midpoint: center is the midpoint, R is a proper rotation.
+    Rm, tm = cam.interpolate_cameras(R1, t1, R2, t2, 0.5)
+    np.testing.assert_allclose(cam.camera_center(Rm, tm), [2.5, 0.0, 2.5],
+                               atol=1e-9)
+    np.testing.assert_allclose(Rm @ Rm.T, np.eye(3), atol=1e-12)
+    assert np.linalg.det(Rm) == pytest.approx(1.0)
+
+
+def test_up_camera():
+    # Rolled camera: up_camera removes the roll (up has no image-x comp).
+    R, t = make_cam([0.0, 1.0, 5.0])
+    roll = rodrigues(np.array([0.0, 0.0, 0.4]))
+    Rr = np.asarray(roll) @ R
+    tr = -Rr @ cam.camera_center(R, t)
+    R2, t2 = cam.up_camera(Rr, tr, np.array([0.0, 1.0, 0.0]))
+    up_img = R2 @ np.array([0.0, 1.0, 0.0])
+    assert abs(up_img[0]) < 1e-9 and up_img[1] > 0
+    # Position unchanged.
+    np.testing.assert_allclose(cam.camera_center(R2, t2),
+                               cam.camera_center(R, t), atol=1e-9)
