@@ -148,8 +148,21 @@ def detect_octave(base: jnp.ndarray, max_keys: int,
         dsy = 0.25 * (d[2, 2, 1] - d[2, 0, 1] - d[0, 2, 1] + d[0, 0, 1])
         dsx = 0.25 * (d[2, 1, 2] - d[2, 1, 0] - d[0, 1, 2] + d[0, 1, 0])
         dyx = 0.25 * (d[1, 2, 2] - d[1, 2, 0] - d[1, 0, 2] + d[1, 0, 0])
-        Hm = jnp.array([[dss, dsy, dsx], [dsy, dyy, dyx], [dsx, dyx, dxx]])
-        off = -jnp.linalg.solve(Hm + 1e-12 * jnp.eye(3), g)
+        # Closed-form symmetric 3x3 solve (adjugate/Cramer): XLA:TPU has no
+        # f64 batched LU, and a 3x3 LU would be slower than this anyway.
+        a, b_, c_ = dss + 1e-12, dsy, dsx
+        e_, f_ = dyy + 1e-12, dyx
+        i_ = dxx + 1e-12
+        A0 = e_ * i_ - f_ * f_
+        A1 = c_ * f_ - b_ * i_
+        A2 = b_ * f_ - c_ * e_
+        det = a * A0 + b_ * A1 + c_ * A2
+        det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        adj = jnp.array([
+            [A0, A1, A2],
+            [A1, a * i_ - c_ * c_, b_ * c_ - a * f_],
+            [A2, b_ * c_ - a * f_, a * e_ - b_ * b_]])
+        off = -(adj @ g) / det
         off = jnp.clip(off, -0.5, 0.5)
         contrast = c + 0.5 * jnp.dot(g, off)
         # Edge rejection on the 2x2 spatial Hessian.

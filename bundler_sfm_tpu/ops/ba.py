@@ -41,7 +41,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bundler_sfm_tpu.ops.projection import project_one
 from bundler_sfm_tpu.ops.rotations import rot_update
 
 CNP = 9  # camera params: c(3) w(3) f k1 k2
@@ -204,6 +203,14 @@ def build_problem(
 # Max one-hot elements for matmul-based segment sums (f32: 512 MB).
 _ONEHOT_BUDGET = 1 << 27
 
+# Max P·C for the factorized dense-table Schur assembly (traffic ∝ C·O·27;
+# beyond this the slot-row scatter fallback wins).
+_PC_TABLE_BUDGET = 1 << 28
+
+# Max f32 elements per dense chunk table in the factorized Schur assembly
+# (two [C, B, 9, 3] tables live at once; 1 << 25 each = 128 MB each).
+_SCHUR_CHUNK_BUDGET = 1 << 25
+
 
 def _segsum_onehot(data, seg, num_segments: int):
     """Segment-sum via a one-hot MXU contraction.
@@ -258,11 +265,93 @@ def _inv3(V):
     return M / det[:, None, None]
 
 
+def _camera_rotations(cam, prob: BAProblem):
+    """Per-camera R = exp([w]x)·R0 and dR/dw [C,3,3,3] (last axis = w index).
+
+    The Rodrigues trig and its derivative are per-CAMERA quantities; hoisting
+    them out of the per-observation path (the reference caches R per camera
+    the same way, `sfm.c:503-560`) leaves the observation loop pure
+    polynomial — the single biggest win for the LM iteration on TPU.
+    """
+    R = jax.vmap(rot_update)(prob.R0, cam[:, 3:6])
+    dRdw = jax.vmap(jax.jacfwd(rot_update, argnums=1))(prob.R0, cam[:, 3:6])
+    return R, dRdw
+
+
+def _predict_obs(cam, pts, R, prob: BAProblem):
+    """Vectorized Snavely projection of every observation given cached
+    per-camera rotations R [C,3,3].  Returns pred [O,2] and p [O,3]."""
+    co = cam[prob.obs_cam]                                # [O,9]
+    Ro = R[prob.obs_cam]                                  # [O,3,3]
+    v = pts[prob.obs_pt] - co[:, 0:3]                     # [O,3]
+    p = jnp.sum(Ro * v[:, None, :], axis=2)               # [O,3]
+    f = co[:, 6:7]
+    n = p[:, 0:2] / p[:, 2:3]
+    rsq = jnp.sum(n * n, axis=1, keepdims=True)
+    D = 1.0 + co[:, 7:8] * rsq + co[:, 8:9] * rsq * rsq
+    pred = -f * D * n
+    return pred, p
+
+
 def _residuals(cam, pts, prob: BAProblem):
-    def one(ci, pi, xy, valid):
-        pred = project_one(cam[ci], prob.R0[ci], pts[pi])
-        return jnp.where(valid, pred - xy, 0.0)
-    return jax.vmap(one)(prob.obs_cam, prob.obs_pt, prob.obs_xy, prob.obs_valid)
+    R, _ = _camera_rotations(cam, prob)
+    pred, _ = _predict_obs(cam, pts, R, prob)
+    return jnp.where(prob.obs_valid[:, None], pred - prob.obs_xy, 0.0)
+
+
+def _linearize_obs(cam, pts, prob: BAProblem):
+    """Residual r [O,2] and closed-form Jacobian blocks A [O,2,9] (camera)
+    and B [O,2,3] (point) for every observation — all plain vectorized ops,
+    no per-observation autodiff (validated against jacfwd in test_ba).
+
+    Layout matches the [c(3), w(3), f, k1, k2] parameterization
+    (`sfm.c:651-703`); derivatives are exact at the current w (dR/dw from
+    `_camera_rotations`), like SBA's analytic mode and unlike its default
+    finite differences (`sba_levmar.c:336`).
+    """
+    R, dRdw = _camera_rotations(cam, prob)
+    co = cam[prob.obs_cam]
+    Ro = R[prob.obs_cam]                                   # [O,3,3]
+    dRo = dRdw[prob.obs_cam]                               # [O,3,3,3]
+    v = pts[prob.obs_pt] - co[:, 0:3]
+    p = jnp.sum(Ro * v[:, None, :], axis=2)
+    f = co[:, 6]
+    k1 = co[:, 7]
+    k2 = co[:, 8]
+    inv_z = 1.0 / p[:, 2]
+    n = p[:, 0:2] * inv_z[:, None]                         # [O,2]
+    rsq = jnp.sum(n * n, axis=1)
+    D = 1.0 + k1 * rsq + k2 * rsq * rsq
+    pred = -(f * D)[:, None] * n
+
+    # dn/dp [O,2,3]
+    zero = jnp.zeros_like(inv_z)
+    dn_dp = jnp.stack([
+        jnp.stack([inv_z, zero, -n[:, 0] * inv_z], axis=1),
+        jnp.stack([zero, inv_z, -n[:, 1] * inv_z], axis=1)], axis=1)
+    # drsq/dp = 2 nᵀ dn/dp  [O,3]
+    drsq_dp = 2.0 * jnp.sum(n[:, :, None] * dn_dp, axis=1)
+    dD_dp = ((k1 + 2.0 * k2 * rsq)[:, None]) * drsq_dp     # [O,3]
+    # dpred/dp = -f (D dn/dp + n ⊗ dD/dp)  [O,2,3]
+    dpred_dp = -f[:, None, None] * (D[:, None, None] * dn_dp
+                                    + n[:, :, None] * dD_dp[:, None, :])
+
+    # dp/dc = -R, dp/dX = R, dp/dw[:, :, i] = dR/dw_i · v
+    dp_dw = jnp.sum(dRo * v[:, None, :, None], axis=2)     # [O,3,3]
+
+    B = jnp.sum(dpred_dp[:, :, :, None] * Ro[:, None, :, :], axis=2)
+    A_c = -B
+    A_w = jnp.sum(dpred_dp[:, :, :, None] * dp_dw[:, None, :, :], axis=2)
+    A_f = -(D[:, None]) * n                                # [O,2]
+    A_k1 = -(f * rsq)[:, None] * n
+    A_k2 = -(f * rsq * rsq)[:, None] * n
+    A = jnp.concatenate([A_c, A_w, A_f[:, :, None],
+                         A_k1[:, :, None], A_k2[:, :, None]], axis=2)
+
+    r = pred - prob.obs_xy
+    m = prob.obs_valid[:, None]
+    return (jnp.where(m, r, 0.0), jnp.where(m[:, :, None], A, 0.0),
+            jnp.where(m[:, :, None], B, 0.0))
 
 
 def compute_cost(cam, pts, prob: BAProblem, loss: str = "l2",
@@ -283,16 +372,7 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
     C = cam.shape[0]
     P = pts.shape[0]
 
-    def one(ci, pi, xy, valid):
-        def f(c, p):
-            return project_one(c, prob.R0[ci], p)
-        r = f(cam[ci], pts[pi]) - xy
-        A, B = jax.jacfwd(f, argnums=(0, 1))(cam[ci], pts[pi])
-        m = jnp.where(valid, 1.0, 0.0)
-        return r * m, A * m, B * m
-
-    r, A, B = jax.vmap(one)(prob.obs_cam, prob.obs_pt, prob.obs_xy,
-                            prob.obs_valid)
+    r, A, B = _linearize_obs(cam, pts, prob)
     # Robust IRLS scaling: rows of (r, A, B) scaled by sqrt(rho'(|r|^2)),
     # the Gauss-Newton approximation Ceres uses sans the Triggs correction.
     s = jnp.sum(r * r, axis=1)
@@ -305,11 +385,15 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
     A = A * prob.cam_mask[prob.obs_cam][:, None, :]
     if fix_points:
         B = B * 0.0
-    U = _segsum_onehot(jnp.einsum("oki,okj->oij", A, A), prob.obs_cam, C)
-    V = _point_sum(jnp.einsum("oki,okj->oij", B, B), prob)
-    W = jnp.einsum("oki,okj->oij", A, B)
-    g_c = -_segsum_onehot(jnp.einsum("oki,ok->oi", A, r), prob.obs_cam, C)
-    g_p = -_point_sum(jnp.einsum("oki,ok->oi", B, r), prob)
+    # Tiny contractions (k=2) as broadcast-multiply + sum: exact f32 on the
+    # VPU — jnp.einsum would route these through the MXU in bf16 by default
+    # and pay a layout pass per dot.
+    U = _segsum_onehot((A[:, :, :, None] * A[:, :, None, :]).sum(1),
+                       prob.obs_cam, C)
+    V = _point_sum((B[:, :, :, None] * B[:, :, None, :]).sum(1), prob)
+    W = (A[:, :, :, None] * B[:, :, None, :]).sum(1)
+    g_c = -_segsum_onehot((A * r[:, :, None]).sum(1), prob.obs_cam, C)
+    g_p = -_point_sum((B * r[:, :, None]).sum(1), prob)
     cost = rcost
 
     # Camera constraints (sba.h:82-90).
@@ -334,40 +418,92 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
     points, so in the sharded solver they are what gets psum'd; the caller
     adds blockdiag(U_aug) and g_c afterwards.
 
-    Two assembly strategies, chosen by static size: small problems build the
-    full [P·M², 9, 9] block tensor and segment-sum it in ONE shot (no
-    sequential steps — sequential scan overhead dominates small BA rounds on
-    TPU); big problems scan over the M view-slot rows so peak memory stays
-    O(P·M·81).
+    TPU-native assembly: because a track never revisits an image
+    (`src/ComputeTracks.cpp:171`), each (point, camera) has at most one
+    observation, so the per-point double sum FACTORIZES:
+
+        Σ_{a,b∈views(i)} Y_a W_bᵀ = (Σ_{a:cam=j} Y_a)(Σ_{b:cam=k} W_b)ᵀ
+                                  = Ỹ[i,j] · W̃[i,k]ᵀ
+
+    with Ỹ/W̃ the per-point dense camera tables (zero where unobserved).
+    The whole S_off then collapses to ONE MXU contraction
+    Ỹ [C,P,9,3] × W̃ [C,P,9,3] over (P, 3).  The dense tables are built by a
+    one-hot broadcast-reduce over the view slots — pure VPU streaming, no
+    gathers and no scatters (TPU gathers run at ~10 M rows/s and dominated a
+    gather-table variant of this assembly; XLA:TPU's scatter-add serializes
+    on colliding camera indices, which sank the original segment-sum
+    variant).  Exact f32 via precision=HIGHEST.
+
+    Memory is bounded by chunking points: HBM peak is the two [C,B,27]
+    chunk tables; traffic scales as C·O·27, so this is the right shape for
+    the ≤ a-few-hundred-camera problems incremental SfM produces.  A
+    slot-row scatter fallback remains for the huge-C·P regime.
     """
     C = num_cameras
     P, M = prob.views_obs.shape
     dtype = Y.dtype
 
+    # rhs_off = − Σ_obs Y_o g_p[pt(o)]  (per camera).
+    gpo = g_p[prob.obs_pt]
+    contrib = jnp.sum(Y * gpo[:, None, :], axis=2)
+    rhs_off = -_segsum_onehot(contrib, prob.obs_cam, C)
+
+    if P * C <= _PC_TABLE_BUDGET:
+        cam_of_slot = prob.obs_cam[prob.views_obs]      # [P,M]
+        Yp = Y[prob.views_obs]                          # [P,M,9,3]
+        Wp = W[prob.views_obs]                          # [P,M,9,3]
+        maskp = prob.views_mask                         # [P,M]
+
+        iota_c = jnp.arange(C, dtype=cam_of_slot.dtype)
+
+        def dense_tables(yp, wp, slots, mask):
+            # onehot [C,B,M] ⊙ data [B,M,27] → Σ_M → [C,B,9,3]
+            oh = ((slots[None, :, :] == iota_c[:, None, None]) & mask[None]
+                  ).astype(dtype)
+            yt = jnp.sum(oh[:, :, :, None, None] * yp[None], axis=2)
+            wt = jnp.sum(oh[:, :, :, None, None] * wp[None], axis=2)
+            return yt, wt
+
+        def block(yt, wt):
+            # contract (point, 3): [C,B,9,3] × [C,B,9,3] → [C,9,C,9]
+            return jax.lax.dot_general(
+                yt, wt, (((1, 3), (1, 3)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+
+        chunk = max(1, _SCHUR_CHUNK_BUDGET // (C * CNP * PNP))
+        if chunk >= P:
+            yt, wt = dense_tables(Yp, Wp, cam_of_slot, maskp)
+            S = -block(yt, wt)
+        else:
+            nchunk = -(-P // chunk)
+            pad = nchunk * chunk - P
+            Yc = jnp.pad(Yp, ((0, pad), (0, 0), (0, 0), (0, 0))) \
+                .reshape(nchunk, chunk, M, CNP, PNP)
+            Wc = jnp.pad(Wp, ((0, pad), (0, 0), (0, 0), (0, 0))) \
+                .reshape(nchunk, chunk, M, CNP, PNP)
+            Sc = jnp.pad(cam_of_slot, ((0, pad), (0, 0))) \
+                .reshape(nchunk, chunk, M)
+            Mc = jnp.pad(maskp, ((0, pad), (0, 0))) \
+                .reshape(nchunk, chunk, M)
+            # Zero init derived from Y so the carry's device-varying type
+            # matches the body's output under shard_map.
+            S0 = jnp.zeros((C, CNP, C, CNP), dtype) + 0.0 * Y[0, 0, 0]
+
+            def chunk_step(S, args):
+                yp, wp, slots, mask = args
+                yt, wt = dense_tables(yp, wp, slots, mask)
+                return S - block(yt, wt), None
+
+            S, _ = jax.lax.scan(chunk_step, S0, (Yc, Wc, Sc, Mc))
+        S_off = S.transpose(0, 2, 1, 3)
+        return S_off, rhs_off
+
+    # Fallback (dense camera tables too large): scatter-add over view-slot
+    # rows, peak memory O(P·M·81).
     cam_of_slot = prob.obs_cam[prob.views_obs]          # [P,M]
     Yp = Y[prob.views_obs]                              # [P,M,9,3]
     Wp = W[prob.views_obs]                              # [P,M,9,3]
     maskp = prob.views_mask                             # [P,M]
-
-    # ~256 MB f64 budget for the flattened block tensor.
-    flat_ok = P * M * M * CNP * CNP * 8 <= (256 << 20)
-
-    if flat_ok:
-        # blocks[p,m,n] = Y[p,m] · W[p,n]ᵀ — one batched MXU contraction.
-        blocks = jnp.einsum("pmij,pnkj->pmnik", Yp, Wp)  # [P,M,M,9,9]
-        pair_ok = maskp[:, :, None] & maskp[:, None, :]
-        blocks = blocks * pair_ok[:, :, :, None, None]
-        idx = cam_of_slot[:, :, None] * C + cam_of_slot[:, None, :]
-        idx = jnp.where(pair_ok, idx, 0)
-        S_off = -_segsum_onehot(blocks.reshape(P * M * M, CNP, CNP),
-                                idx.reshape(P * M * M), C * C)
-        S_off = S_off.reshape(C, C, CNP, CNP)
-        contrib = jnp.einsum("oij,oj->oi", Y, g_p[prob.obs_pt])
-        rhs_off = -_segsum_onehot(contrib, prob.obs_cam, C)
-        return S_off, rhs_off
-
-    # Derive the zero init from Y so its device-varying type matches the
-    # scan body's output under shard_map.
     S_off = jnp.zeros((C * C, CNP, CNP), dtype=dtype) + 0.0 * Y[0, 0, 0]
 
     def slot_row(carry, m):
@@ -386,10 +522,6 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
     S_off, _ = jax.lax.scan(slot_row, S_off,
                             jnp.arange(M, dtype=jnp.int32))
     S_off = S_off.reshape(C, C, CNP, CNP)
-
-    # rhs_off = − Σ_obs Y_o g_p[pt(o)]  (per camera).
-    contrib = jnp.einsum("oij,oj->oi", Y, g_p[prob.obs_pt])
-    rhs_off = -_segsum_onehot(contrib, prob.obs_cam, C)
     return S_off, rhs_off
 
 
@@ -460,9 +592,10 @@ def solve_schur_cg(S, rhs, max_iters: int = 100, tol: float = 1e-8):
 
 def back_substitute(Vinv, W, g_p, dcam, prob: BAProblem):
     """dp_i = V_i⁻¹ (g_p_i − Σ_{o∈views(i)} W_oᵀ dcam[cam(o)])."""
-    wc = jnp.einsum("oji,oj->oi", W, dcam[prob.obs_cam])  # [O,3]
+    wc = (W * dcam[prob.obs_cam][:, :, None]).sum(1)      # [O,3]
     acc = _point_sum(wc, prob)
-    return jnp.einsum("pij,pj->pi", Vinv, g_p - acc)
+    x = g_p - acc
+    return (Vinv * x[:, None, :]).sum(2)
 
 
 # --------------------------------------------------------------------------
@@ -495,7 +628,8 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
         U_aug = U + jax.vmap(jnp.diag)(frozen) + mu * eyec[None]
         V_aug = V + (mu + 1e-12) * eyep[None]
         Vinv = _inv3(V_aug)
-        Y = jnp.einsum("oij,ojk->oik", W, Vinv[prob.obs_pt])
+        Vo = Vinv[prob.obs_pt]
+        Y = (W[:, :, :, None] * Vo[:, None, :, :]).sum(2)
         S, rhs = assemble_schur(U_aug, Y, W, g_c, g_p, prob)
         if solver == "cg":
             dcam = solve_schur_cg(S, rhs)

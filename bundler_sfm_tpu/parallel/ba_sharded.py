@@ -78,6 +78,8 @@ def shard_problem(
 
     def stack_field(name):
         vals = [getattr(s, name) for s in subs]
+        if vals[0] is None:
+            return None
         if name in _SHARDED_FIELDS:
             return jnp.stack(vals)
         return vals[0]
@@ -106,7 +108,9 @@ def run_ba_sharded(prob: BAProblem, mesh: Mesh, max_iters: int = 100,
         # Inside shard_map every sharded leaf has its local block with the
         # leading shard axis of size 1 — drop it.
         local = BAProblem(**{
-            f: (getattr(p, f)[0] if f in _SHARDED_FIELDS else getattr(p, f))
+            f: (getattr(p, f)[0]
+                if f in _SHARDED_FIELDS and getattr(p, f) is not None
+                else getattr(p, f))
             for f in BAProblem._fields})
 
         def blocks(cam, pts):
@@ -123,7 +127,8 @@ def run_ba_sharded(prob: BAProblem, mesh: Mesh, max_iters: int = 100,
             U_aug = U + jax.vmap(jnp.diag)(frozen) + mu * eyec[None]
             V_aug = V + (mu + 1e-12) * eyep[None]
             Vinv = _ba._inv3(V_aug)
-            Y = jnp.einsum("oij,ojk->oik", W, Vinv[local.obs_pt])
+            Vo = Vinv[local.obs_pt]
+            Y = (W[:, :, :, None] * Vo[:, None, :, :]).sum(2)
             C = U_aug.shape[0]
             S_off, rhs_off = assemble_schur_off(Y, W, g_p, local, C)
             # The point-coupled parts sum across shards; U_aug/g_c are

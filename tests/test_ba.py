@@ -210,3 +210,40 @@ def test_ba_cg_solver_matches_cholesky(rng):
     assert float(res_cg.cost) < 1e-6
     assert np.allclose(np.asarray(res_cg.cam)[:5, 6],
                        np.asarray(res_chol.cam)[:5, 6], rtol=1e-4)
+
+
+def test_linearize_obs_matches_autodiff(rng):
+    """The closed-form Jacobian blocks (A [O,2,9], B [O,2,3]) must equal
+    per-observation jacfwd of project_one at a generic state (nonzero w,
+    distortion on)."""
+    from bundler_sfm_tpu.ops.ba import _linearize_obs
+    from bundler_sfm_tpu.ops.projection import project_one
+
+    sc = Scene(rng, num_cams=3, num_pts=20)
+    prob = make_problem(rng, sc, cam_noise=0.02, pt_noise=0.03)
+    C = prob.cam0.shape[0]
+    cam = np.asarray(prob.cam0).copy()
+    cam[:, 3:6] = rng.normal(size=(C, 3)) * 0.05   # generic w
+    cam[:, 7] = 0.01
+    cam[:, 8] = -0.002
+    cam = jnp.asarray(cam)
+    pts = prob.pts0
+
+    r, A, B = _linearize_obs(cam, pts, prob)
+
+    def one(ci, pi, xy, valid):
+        def f(c, p):
+            return project_one(c, prob.R0[ci], p)
+        rr = f(cam[ci], pts[pi]) - xy
+        Aa, Bb = jax.jacfwd(f, argnums=(0, 1))(cam[ci], pts[pi])
+        m = jnp.where(valid, 1.0, 0.0)
+        return rr * m, Aa * m, Bb * m
+
+    r2, A2, B2 = jax.vmap(one)(prob.obs_cam, prob.obs_pt, prob.obs_xy,
+                               prob.obs_valid)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r2),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(A), np.asarray(A2),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(B), np.asarray(B2),
+                               rtol=1e-7, atol=1e-8)
