@@ -278,11 +278,30 @@ def _camera_rotations(cam, prob: BAProblem):
     return R, dRdw
 
 
+def _expand_cams(prob: BAProblem, *tables):
+    """Per-camera tables [C, k_i] -> per-observation rows [O, k_i], as ONE
+    one-hot MXU matmul instead of per-observation gathers (TPU gathers run
+    ~10-40 M rows/s and were the dominant cost of the linearization at
+    O~500k; the [O,C]x[C,Σk] dot streams at full bandwidth)."""
+    C = tables[0].shape[0]
+    widths = [int(np.prod(t.shape[1:])) for t in tables]
+    flat = jnp.concatenate([t.reshape(C, -1) for t in tables], axis=1)
+    iota = jnp.arange(C, dtype=prob.obs_cam.dtype)
+    onehot = (prob.obs_cam[:, None] == iota[None, :]).astype(flat.dtype)
+    rows = jax.lax.dot_general(onehot, flat, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+    out = []
+    off = 0
+    for t, k in zip(tables, widths):
+        out.append(rows[:, off:off + k].reshape((-1,) + t.shape[1:]))
+        off += k
+    return out
+
+
 def _predict_obs(cam, pts, R, prob: BAProblem):
     """Vectorized Snavely projection of every observation given cached
     per-camera rotations R [C,3,3].  Returns pred [O,2] and p [O,3]."""
-    co = cam[prob.obs_cam]                                # [O,9]
-    Ro = R[prob.obs_cam]                                  # [O,3,3]
+    co, Ro = _expand_cams(prob, cam, R)                   # [O,9], [O,3,3]
     v = pts[prob.obs_pt] - co[:, 0:3]                     # [O,3]
     p = jnp.sum(Ro * v[:, None, :], axis=2)               # [O,3]
     f = co[:, 6:7]
@@ -310,9 +329,7 @@ def _linearize_obs(cam, pts, prob: BAProblem):
     finite differences (`sba_levmar.c:336`).
     """
     R, dRdw = _camera_rotations(cam, prob)
-    co = cam[prob.obs_cam]
-    Ro = R[prob.obs_cam]                                   # [O,3,3]
-    dRo = dRdw[prob.obs_cam]                               # [O,3,3,3]
+    co, Ro, dRo = _expand_cams(prob, cam, R, dRdw)  # [O,9],[O,3,3],[O,3,3,3]
     v = pts[prob.obs_pt] - co[:, 0:3]
     p = jnp.sum(Ro * v[:, None, :], axis=2)
     f = co[:, 6]
