@@ -35,6 +35,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from bundler_sfm_tpu.ops.linalg_small import lu_solve
 import numpy as np
 
 from bundler_sfm_tpu.ops.essential import _M, decompose_essential_multipt
@@ -145,7 +147,7 @@ def _z_poly_system(M: jnp.ndarray):
     Bm = M[:, 10:]
     # tail[i] = coefficients of pivot-monomial-i's expression (negated tail):
     # monomial_i = -tail[i] · last10.
-    tail = jnp.linalg.solve(A, Bm)  # [10, 10]
+    tail = lu_solve(A, Bm)  # [10, 10]  (TPU has no f64 LU — linalg_small)
 
     def row_combo(rz_idx, r_idx):
         """eq(pivot with z) − z·eq(pivot): group last10 into x/y/1 z-polys."""

@@ -24,6 +24,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from bundler_sfm_tpu.ops.linalg_small import cholesky_solve
 from bundler_sfm_tpu.ops.ransac import hartley_normalize, run_ransac, sample_indices
 
 
@@ -74,7 +75,7 @@ def fit_fmatrix_linear(r: jnp.ndarray, l: jnp.ndarray, mask: jnp.ndarray,
     Aw = A * w[:, None]
     AtA = Aw.T @ A + 1e-12 * jnp.eye(8, dtype=r.dtype)
     Atb = Aw.T @ b
-    X = jnp.linalg.solve(AtA, Atb)
+    X = cholesky_solve(AtA, Atb)
     Fn = jnp.concatenate([X, jnp.ones((1,), dtype=r.dtype)]).reshape(3, 3)
     F = Tr.T @ Fn @ Tl
     return _closest_rank2(F, essential)
@@ -130,7 +131,7 @@ def refine_fmatrix_nonlinear(F0: jnp.ndarray, x1, x2, mask,
         J = jax.jacfwd(residuals)(fvec)          # [N, 9]
         r = residuals(fvec)
         JtJ = J.T @ J + 1e-9 * jnp.eye(9, dtype=fvec.dtype)
-        delta = jnp.linalg.solve(JtJ, J.T @ r)
+        delta = cholesky_solve(JtJ, J.T @ r)
         fnew = fvec - delta
         fnew = fnew / jnp.maximum(jnp.linalg.norm(fnew), 1e-12)
         improved = jnp.sum(residuals(fnew) ** 2) < jnp.sum(r ** 2)

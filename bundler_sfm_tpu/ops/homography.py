@@ -14,6 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from bundler_sfm_tpu.ops.linalg_small import cholesky_solve, inv3
 from bundler_sfm_tpu.ops.ransac import hartley_normalize, run_ransac
 
 
@@ -50,10 +51,10 @@ def fit_homography_dlt(p1: jnp.ndarray, p2: jnp.ndarray,
     Aw = A * ww[:, None]
     AtA = Aw.T @ A + 1e-12 * jnp.eye(8, dtype=p1.dtype)
     Atb = Aw.T @ b
-    h = jnp.linalg.solve(AtA, Atb)
+    h = cholesky_solve(AtA, Atb)
     Hn = jnp.concatenate([h, jnp.ones((1,), dtype=p1.dtype)]).reshape(3, 3)
     # Un-normalize: p2 = T2⁻¹ Hn T1 p1.
-    T2inv = jnp.linalg.inv(T2)
+    T2inv = inv3(T2)
     H = T2inv @ Hn @ T1
     return H / H[2, 2]
 

@@ -19,6 +19,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from bundler_sfm_tpu.ops.linalg_small import cholesky_solve
 from bundler_sfm_tpu.ops.projection import project_one
 from bundler_sfm_tpu.ops.rotations import rot_update
 
@@ -80,7 +81,7 @@ def camera_refine(
         H = J.T @ J
         H = H + jnp.diag(1.0 - pmask)                     # PD for frozen
         Haug = H + mu * jnp.eye(CNP, dtype=dtype)
-        delta = -jnp.linalg.solve(Haug, g) * pmask
+        delta = -cholesky_solve(Haug, g) * pmask
         cam_new = cam + delta
         new_cost = cost_of(cam_new)
         pred = 0.5 * jnp.dot(delta, mu * delta - g)

@@ -17,6 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from bundler_sfm_tpu.ops.linalg_small import solve3
 from bundler_sfm_tpu.ops.ransac import run_ransac
 from bundler_sfm_tpu.ops.rotations import rq3, fix_intrinsics_sign
 
@@ -119,7 +120,7 @@ def find_and_verify_camera(key, X, x, n_valid, threshold, weak_threshold,
     P = P * jnp.where(sgn == 0, 1.0, sgn)
     K, Q = rq3(P[:, 0:3])
     K, R = fix_intrinsics_sign(K, Q)
-    t = jnp.linalg.solve(K, P[:, 3])
+    t = solve3(K, P[:, 3])
     # Reference normalizes K by K[2,2] after FixIntrinsics
     # (src/Bundle.cpp:2928); t must come from the unnormalized K·[R|t]=P.
     K = K / K[2, 2]

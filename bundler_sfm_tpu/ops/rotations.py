@@ -77,8 +77,9 @@ def rq3(M: jnp.ndarray):
     M = R Q  <=>  (P M)ᵀ = Qᵀ Pᵀ · (P R P)ᵀ with (P R P)ᵀ lower→... concretely:
       A = flipud(M).T ; A = q r  ⇒  M = flipud(flip(r).T-ish) — standard identity.
     """
+    from bundler_sfm_tpu.ops.linalg_small import qr3
     A = jnp.flip(M, axis=-2).swapaxes(-1, -2)
-    q, r = jnp.linalg.qr(A)
+    q, r = qr3(A)   # unrolled MGS — XLA:TPU has no f64 QR (linalg_small)
     R_upper = jnp.flip(jnp.flip(r.swapaxes(-1, -2), axis=-1), axis=-2)
     Q = jnp.flip(q.swapaxes(-1, -2), axis=-2)
     return R_upper, Q

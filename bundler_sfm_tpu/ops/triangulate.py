@@ -22,6 +22,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from bundler_sfm_tpu.ops.linalg_small import solve3
+
 
 def _linear_triangulate(pv: jnp.ndarray, Rs: jnp.ndarray, ts: jnp.ndarray,
                         mask: jnp.ndarray) -> jnp.ndarray:
@@ -41,7 +43,7 @@ def _linear_triangulate(pv: jnp.ndarray, Rs: jnp.ndarray, ts: jnp.ndarray,
     ww = jnp.concatenate([w, w], axis=0)
     Aw = A * ww[:, None]
     AtA = Aw.T @ A + 1e-12 * jnp.eye(3, dtype=pv.dtype)
-    return jnp.linalg.solve(AtA, Aw.T @ b)
+    return solve3(AtA, Aw.T @ b)
 
 
 def _gn_polish(X0, pv, Rs, ts, mask, num_iters: int):
@@ -58,7 +60,7 @@ def _gn_polish(X0, pv, Rs, ts, mask, num_iters: int):
         J = jax.jacfwd(residuals)(X)        # [2M,3]
         r = residuals(X)
         JtJ = J.T @ J + 1e-12 * jnp.eye(3, dtype=X.dtype)
-        Xn = X - jnp.linalg.solve(JtJ, J.T @ r)
+        Xn = X - solve3(JtJ, J.T @ r)
         better = jnp.sum(residuals(Xn) ** 2) < jnp.sum(r ** 2)
         return jnp.where(better, Xn, X), None
 

@@ -27,6 +27,8 @@ from bundler_sfm_tpu.ops.ba import (
     run_ba,
 )
 from bundler_sfm_tpu.ops.essential import pose_to_center
+from bundler_sfm_tpu.ops.linalg_small import cholesky_solve
+from bundler_sfm_tpu.ops import ba as _ba_ops
 from bundler_sfm_tpu.ops.fivepoint import estimate_pose_5point
 from bundler_sfm_tpu.ops.triangulate import triangulate_two_view
 from bundler_sfm_tpu.pipeline.scene import Scene
@@ -90,12 +92,14 @@ def camera_covariance(prob: BAProblem, cam, pts,
     U, V, W, g_c, g_p, _ = build_normal_blocks(cam, pts, anchored, False)
     frozen = 1.0 - prob.cam_mask
     U_aug = U + jax.vmap(jnp.diag)(frozen)
-    Vinv = jnp.linalg.inv(V + 1e-12 * jnp.eye(3, dtype=V.dtype)[None])
+    Vinv = _ba_ops._inv3(V + 1e-12 * jnp.eye(3, dtype=V.dtype)[None])
     Y = jnp.einsum("oij,ojk->oik", W, Vinv[anchored.obs_pt])
     S, _ = assemble_schur(U_aug, Y, W, g_c, g_p, anchored)
     C = S.shape[0]
     Sd = S.transpose(0, 2, 1, 3).reshape(C * CNP, C * CNP)
-    cov = jnp.linalg.inv(Sd)
+    # inv(S) with S SPD — column-wise unrolled Cholesky solves (TPU-safe f64).
+    eye = jnp.eye(C * CNP, dtype=Sd.dtype)
+    cov = jax.vmap(lambda col: cholesky_solve(Sd, col), out_axes=1)(eye)
     return np.asarray(0.5 * (cov + cov.T))
 
 
