@@ -229,7 +229,11 @@ def _durand_kerner(coeffs: jnp.ndarray, iters: int = 80) -> jnp.ndarray:
         pz = horner(z)
         diffs = z[:, None] - z[None, :]
         diffs = diffs.at[jnp.arange(10), jnp.arange(10)].set(1.0)
-        denom = jnp.prod(diffs, axis=1)
+        # Unrolled product: the TPU x64 rewriter (f64 emulation) has no
+        # lowering for a multiply-reduce and CHECK-fails on jnp.prod.
+        denom = diffs[:, 0]
+        for i in range(1, 10):
+            denom = denom * diffs[:, i]
         denom = jnp.where(jnp.abs(denom) < 1e-30, 1e-30 + 0j, denom)
         z_new = z - pz / denom
         ok = jnp.isfinite(z_new.real) & jnp.isfinite(z_new.imag)
