@@ -31,12 +31,17 @@ from __future__ import annotations
 
 import functools
 import itertools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from bundler_sfm_tpu.ops.linalg_small import lu_solve
+
+
+def _rabs(x):
+    """f64 abs as max(x, -x) — TPU x64-rewriter-safe."""
+    return jnp.maximum(x, -x)
 import numpy as np
 
 from bundler_sfm_tpu.ops.essential import _M, decompose_essential_multipt
@@ -201,46 +206,69 @@ def _det_poly(Bz: jnp.ndarray) -> jnp.ndarray:
     return det
 
 
-def _durand_kerner(coeffs: jnp.ndarray, iters: int = 80) -> jnp.ndarray:
-    """All roots of a degree-10 polynomial (coeffs low->high [11]).
+class _Roots(NamedTuple):
+    """Complex roots as split f64 components — the TPU x64 rewriter (f64
+    emulation) cannot lower c128 at all (no f64→c128 convert, no complex
+    abs / multiply-reduce), so the root finder carries (real, imag) f64
+    pairs and spells out the complex arithmetic."""
+    real: jnp.ndarray
+    imag: jnp.ndarray
 
-    Fixed-iteration simultaneous root finder; fully vectorized, complex64/128
-    arithmetic only — ideal for TPU (no pivoting, no data-dependent loops).
+
+def _durand_kerner(coeffs: jnp.ndarray, iters: int = 80) -> _Roots:
+    """All roots of a degree-10 REAL polynomial (coeffs low->high [11]).
+
+    Fixed-iteration simultaneous root finder; fully vectorized split-complex
+    f64 arithmetic — ideal for TPU (no pivoting, no data-dependent loops).
     """
-    c = coeffs.astype(jnp.complex128)
-    lead = c[10]
+    lead = coeffs[10]
     # Guard degenerate leading coefficient.
-    lead = jnp.where(jnp.abs(lead) < 1e-30, 1e-30 + 0j, lead)
-    cn = c / lead
+    lead = jnp.where(_rabs(lead) < 1e-30, 1e-30, lead)
+    cn = coeffs / lead                              # real [11]
 
-    def horner(z):
-        acc = jnp.ones_like(z)
-        val = jnp.zeros_like(z)
+    def horner(zr, zi):
+        vr = jnp.zeros_like(zr)
+        vi = jnp.zeros_like(zi)
         for k in range(10, -1, -1):
-            val = val * z + cn[k]
-        return val
+            vr, vi = vr * zr - vi * zi + cn[k], vr * zi + vi * zr
+        return vr, vi
 
     # Initial guesses on a circle (Aberth's standard init).
-    k = jnp.arange(10)
-    radius = 1.0 + jnp.max(jnp.abs(cn[:10]))
-    z = radius ** 0.5 * jnp.exp(2j * jnp.pi * (k + 0.35) / 10.0)
+    k = jnp.arange(10, dtype=coeffs.dtype)
+    radius = jnp.sqrt(1.0 + jnp.max(_rabs(cn[:10])))
+    theta = 2.0 * jnp.pi * (k + 0.35) / 10.0
+    zr = radius * jnp.cos(theta)
+    zi = radius * jnp.sin(theta)
+
+    eye10 = jnp.eye(10, dtype=bool)
 
     def step(z, _):
-        pz = horner(z)
-        diffs = z[:, None] - z[None, :]
-        diffs = diffs.at[jnp.arange(10), jnp.arange(10)].set(1.0)
-        # Unrolled product: the TPU x64 rewriter (f64 emulation) has no
-        # lowering for a multiply-reduce and CHECK-fails on jnp.prod.
-        denom = diffs[:, 0]
+        zr, zi = z
+        pr, pi = horner(zr, zi)
+        dr = zr[:, None] - zr[None, :]
+        di = zi[:, None] - zi[None, :]
+        dr = jnp.where(eye10, 1.0, dr)
+        di = jnp.where(eye10, 0.0, di)
+        # Unrolled complex product over the 10 pairwise differences.
+        nr, ni = dr[:, 0], di[:, 0]
         for i in range(1, 10):
-            denom = denom * diffs[:, i]
-        denom = jnp.where(jnp.abs(denom) < 1e-30, 1e-30 + 0j, denom)
-        z_new = z - pz / denom
-        ok = jnp.isfinite(z_new.real) & jnp.isfinite(z_new.imag)
-        return jnp.where(ok, z_new, z), None
+            nr, ni = nr * dr[:, i] - ni * di[:, i], \
+                nr * di[:, i] + ni * dr[:, i]
+        mag = nr * nr + ni * ni
+        bad = mag < 1e-60
+        nr = jnp.where(bad, 1e-30, nr)
+        ni = jnp.where(bad, 0.0, ni)
+        mag = jnp.where(bad, 1e-60, mag)
+        # z_new = z - p/denom  (complex division, split form).
+        qr = (pr * nr + pi * ni) / mag
+        qi = (pi * nr - pr * ni) / mag
+        zr_new = zr - qr
+        zi_new = zi - qi
+        ok = jnp.isfinite(zr_new) & jnp.isfinite(zi_new)
+        return (jnp.where(ok, zr_new, zr), jnp.where(ok, zi_new, zi)), None
 
-    z, _ = jax.lax.scan(step, z, None, length=iters)
-    return z
+    (zr, zi), _ = jax.lax.scan(step, (zr, zi), None, length=iters)
+    return _Roots(real=zr, imag=zi)
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +286,7 @@ def generate_ematrix_hypotheses(q1: jnp.ndarray, q2: jnp.ndarray):
     Bz = _z_poly_system(M)                      # [3,3,11]
     det = _det_poly(Bz)                         # [11]
     roots = _durand_kerner(det)                 # [10] complex
-    real_ok = jnp.abs(roots.imag) < 1e-6 * (1.0 + jnp.abs(roots.real))
+    real_ok = _rabs(roots.imag) < 1e-6 * (1.0 + _rabs(roots.real))
     z = roots.real
 
     def eval_poly(p, z0):
@@ -279,7 +307,7 @@ def generate_ematrix_hypotheses(q1: jnp.ndarray, q2: jnp.ndarray):
                       jnp.linalg.norm(v3))
         v = jnp.where(n1 >= jnp.maximum(n2, n3), v,
                       jnp.where(n2 >= n3, v2, v3))
-        denom = jnp.where(jnp.abs(v[2]) < 1e-30, 1e-30, v[2])
+        denom = jnp.where(_rabs(v[2]) < 1e-30, 1e-30, v[2])
         x = v[0] / denom
         y = v[1] / denom
         E = x * basis[0] + y * basis[1] + z0 * basis[2] + basis[3]
