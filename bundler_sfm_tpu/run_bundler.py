@@ -108,6 +108,11 @@ def main(argv=None) -> int:
 
     # 4. Reconstruction
     cfg = default_pipeline_config()
+    import jax
+    if jax.default_backend() != "cpu":
+        # f64 dense linalg (Cholesky/SVD) has no TPU lowering; the on-chip
+        # reconstruction runs f32 (CPU keeps f64 for C-parity).
+        cfg.ba_dtype = "float32"
     key_xy = [keys_to_centered(info, w, h)[:, :2].astype(np.float64)
               for info, (w, h) in zip(infos, dims)]
     key_color = []
