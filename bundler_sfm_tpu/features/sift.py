@@ -210,7 +210,11 @@ def orientation_hist(m: jnp.ndarray, o: jnp.ndarray,
     w = jnp.where(rx * rx + ry * ry <= (4.5 * sigma) ** 2, w, 0.0)
     binf = (o + jnp.pi) / (2 * jnp.pi) * ORI_BINS
     b0 = jnp.floor(binf).astype(jnp.int32) % ORI_BINS
-    hist = jnp.zeros(ORI_BINS).at[b0.reshape(-1)].add((m * w).reshape(-1))
+    # One-hot accumulation instead of scatter-add: vmapped scatters with
+    # colliding bins serialize on TPU (this + the descriptor scatter made
+    # extract_octave ~6 s/octave on chip).
+    onehot = (b0.reshape(-1, 1) == jnp.arange(ORI_BINS)[None, :])
+    hist = jnp.sum((m * w).reshape(-1, 1) * onehot, axis=0)
     # Smooth the circular histogram twice.
     for _ in range(2):
         hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
@@ -273,8 +277,10 @@ def descriptor(m, o, fx, fy, sigma, theta):
     du = u - u0
     dv = v - v0
     do = obin - ob0
-    # Trilinear binning via flat scatter-add into the 128 bins.
-    d = jnp.zeros(DESC_WIDTH * DESC_WIDTH * DESC_BINS, dtype=wm.dtype)
+    # Trilinear binning via one-hot accumulation over the 128 bins —
+    # scatter-add serializes on TPU under vmap (see orientation_hist).
+    idx_all = []
+    wt_all = []
     for iu in (0, 1):
         for iv in (0, 1):
             for io in (0, 1):
@@ -288,7 +294,13 @@ def descriptor(m, o, fx, fy, sigma, theta):
                 wt = jnp.where(inside, wt, 0.0)
                 idx = (jnp.clip(vv, 0, DESC_WIDTH - 1) * DESC_WIDTH +
                        jnp.clip(uu, 0, DESC_WIDTH - 1)) * DESC_BINS + oo
-                d = d.at[idx.reshape(-1)].add(wt.reshape(-1))
+                idx_all.append(idx.reshape(-1))
+                wt_all.append(wt.reshape(-1))
+    idx_flat = jnp.concatenate(idx_all)                  # [8·PATCH²]
+    wt_flat = jnp.concatenate(wt_all)
+    nbins = DESC_WIDTH * DESC_WIDTH * DESC_BINS
+    onehot = (idx_flat[:, None] == jnp.arange(nbins)[None, :])
+    d = jnp.sum(wt_flat[:, None] * onehot, axis=0)
     d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
     d = jnp.minimum(d, DESC_MAG_THR)
     d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
