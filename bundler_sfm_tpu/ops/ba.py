@@ -46,6 +46,14 @@ from bundler_sfm_tpu.ops.rotations import rot_update
 CNP = 9  # camera params: c(3) w(3) f k1 k2
 PNP = 3
 
+# Parameter scaling (run_sfm packs f·0.001 and k·5.0, sfm.c:634-635): the LM
+# damps mu*I in the SCALED space q = s∘x, which balances the focal/distortion
+# columns of JᵀJ against the pose columns.  Without it the focal diagonal
+# (~|n|² per obs) is ~1e6 smaller than the center diagonal (~f²/z² per obs),
+# so mu — set from the max diagonal — freezes f entirely in f32.
+F_SCALE = 0.001
+K_SCALE = 5.0
+
 
 def _robust_weight(s, loss: str, b):
     """IRLS weight rho'(s) for a squared-norm residual block s = |r|^2.
@@ -85,6 +93,7 @@ class BAProblem(NamedTuple):
     obs_valid: jnp.ndarray        # [O] bool
     views_obs: jnp.ndarray        # [P,M] int32 obs index per point view (pad 0)
     views_mask: jnp.ndarray       # [P,M] bool
+    cam_scale: jnp.ndarray        # [9] per-param scale s (LM solves q = s∘x)
 
 
 class BAResult(NamedTuple):
@@ -119,6 +128,7 @@ def build_problem(
     pad_pts: Optional[int] = None,
     pad_obs: Optional[int] = None,
     max_views: Optional[int] = None,
+    param_scale: Optional[np.ndarray] = None,  # [9]; default f/k scaling
     dtype=np.float64,
 ) -> BAProblem:
     """Pad + mask a host-side problem into a static-shape BAProblem."""
@@ -193,6 +203,9 @@ def build_problem(
         obs_cam=jnp.asarray(ocam), obs_pt=jnp.asarray(opt),
         obs_xy=jnp.asarray(oxy), obs_valid=jnp.asarray(ovalid),
         views_obs=jnp.asarray(views_obs), views_mask=jnp.asarray(views_mask),
+        cam_scale=jnp.asarray(
+            np.array([1, 1, 1, 1, 1, 1, F_SCALE, K_SCALE, K_SCALE])
+            if param_scale is None else param_scale, dtype=dtype),
     )
 
 
@@ -385,9 +398,16 @@ def compute_cost(cam, pts, prob: BAProblem, loss: str = "l2",
 
 def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
                         loss: str = "l2", huber_b: float = 625.0):
-    """U [C,9,9], V [P,3,3], W [O,9,3], g_c [C,9], g_p [P,3], cost."""
+    """U [C,9,9], V [P,3,3], W [O,9,3], g_c [C,9], g_p [P,3], cost.
+
+    Camera-side quantities are in SCALED parameter space q = cam_scale∘x
+    (A columns multiplied by 1/s), so the caller's LM damping mu*I acts on
+    balanced coordinates exactly like run_sfm's packed f·0.001/k·5.0 params
+    (sfm.c:634-703).  The camera step the solve produces is δq; unscale with
+    δx = δq / cam_scale before applying."""
     C = cam.shape[0]
     P = pts.shape[0]
+    inv_s = 1.0 / prob.cam_scale                              # [9]
 
     r, A, B = _linearize_obs(cam, pts, prob)
     # Robust IRLS scaling: rows of (r, A, B) scaled by sqrt(rho'(|r|^2)),
@@ -399,7 +419,7 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
         r = r * sw[:, None]
         A = A * sw[:, None, None]
         B = B * sw[:, None, None]
-    A = A * prob.cam_mask[prob.obs_cam][:, None, :]
+    A = A * (prob.cam_mask[prob.obs_cam] * inv_s)[:, None, :]
     if fix_points:
         B = B * 0.0
     # Tiny contractions (k=2) as broadcast-multiply + sum: exact f32 on the
@@ -413,10 +433,12 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
     g_p = -_point_sum((B * r[:, :, None]).sum(1), prob)
     cost = rcost
 
-    # Camera constraints (sba.h:82-90).
+    # Camera constraints (sba.h:82-90), transformed to q-space:
+    # 0.5·cw·(x−t)² = 0.5·(cw/s²)·(q−s·t)², so diag += cw/s² and the
+    # gradient picks up one 1/s factor.
     cw = prob.cam_weights * prob.cam_constrained * prob.cam_mask
-    U = U + jax.vmap(jnp.diag)(cw)
-    g_c = g_c + cw * (prob.cam_constraints - cam)
+    U = U + jax.vmap(jnp.diag)(cw * (inv_s * inv_s)[None])
+    g_c = g_c + cw * (prob.cam_constraints - cam) * inv_s[None]
     cost += 0.5 * jnp.sum(cw * (cam - prob.cam_constraints) ** 2)
 
     # Point constraints (run_sfm, sfm.c:757-781).
@@ -670,10 +692,12 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
         cam, pts, mu, nu, cost, it, done = state
         return (it < max_iters) & ~done
 
+    inv_s = 1.0 / prob.cam_scale
+
     def body(state):
         cam, pts, mu, nu, cost, it, done = state
         dcam, dpts, g_c, g_p, _ = damped_step(cam, pts, mu)
-        cam_new = cam + dcam
+        cam_new = cam + dcam * inv_s[None]   # δx = δq / s
         pts_new = pts + dpts
         new_cost = compute_cost(cam_new, pts_new, prob, loss=loss,
                                 huber_b=huber_b)
@@ -689,9 +713,11 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
                                   1.0 - (2.0 * rho - 1.0) ** 3)
         mu = jnp.where(accept, mu_acc, mu * nu)
         nu = jnp.where(accept, 2.0, nu * 2.0)
-        # Termination: small gradient or tiny step (opts eps1/eps2).
+        # Termination: small gradient or tiny step (opts eps1/eps2), both in
+        # q-space like SBA checks its packed params.
         gnorm = jnp.maximum(jnp.max(jnp.abs(g_c)), jnp.max(jnp.abs(g_p)))
-        pnorm = jnp.sqrt(jnp.sum(cam * cam) + jnp.sum(pts * pts))
+        q = cam * prob.cam_scale[None]
+        pnorm = jnp.sqrt(jnp.sum(q * q) + jnp.sum(pts * pts))
         dnorm = jnp.sqrt(jnp.sum(dcam * dcam) + jnp.sum(dpts * dpts))
         done = (gnorm < eps1) | (dnorm < eps2 * (pnorm + eps2)) | (mu > 1e30)
         return cam, pts, mu, nu, cost_next, it + 1, done

@@ -155,10 +155,12 @@ def run_ba_sharded(prob: BAProblem, mesh: Mesh, max_iters: int = 100,
         def cond(st):
             return (st[5] < max_iters) & ~st[6]
 
+        inv_s = 1.0 / local.cam_scale
+
         def body(st):
             cam, pts, mu, nu, cost, it, done = st
             dcam, dpts, g_c, g_p, _ = step(cam, pts, mu)
-            cam_new = cam + dcam
+            cam_new = cam + dcam * inv_s[None]   # δx = δq / s (q-space solve)
             pts_new = pts + dpts
             new_cost = total_cost(cam_new, pts_new)
             pred_local = 0.5 * jnp.sum(dpts * (mu * dpts + g_p))
@@ -178,7 +180,8 @@ def run_ba_sharded(prob: BAProblem, mesh: Mesh, max_iters: int = 100,
                                jax.lax.pmax(jnp.max(jnp.abs(g_p)), AXIS))
             dnorm = jnp.sqrt(jnp.sum(dcam ** 2) +
                              jax.lax.psum(jnp.sum(dpts ** 2), AXIS))
-            pnorm = jnp.sqrt(jnp.sum(cam ** 2) +
+            q = cam * local.cam_scale[None]
+            pnorm = jnp.sqrt(jnp.sum(q ** 2) +
                              jax.lax.psum(jnp.sum(pts ** 2), AXIS))
             done = (gmax < eps1) | (dnorm < eps2 * (pnorm + eps2)) | \
                 (mu > 1e30)

@@ -88,7 +88,10 @@ def camera_covariance(prob: BAProblem, cam, pts,
     anchored = prob._replace(
         pt_constrained=jnp.ones(pts_np.shape[0], dtype=pts.dtype),
         pt_constraints=jnp.asarray(pts_np),
-        pt_weight=jnp.asarray(pt_constraint_weight, pts.dtype))
+        pt_weight=jnp.asarray(pt_constraint_weight, pts.dtype),
+        # Covariance must come out in RAW parameter units, not the LM's
+        # scaled q-space — disable f/k column scaling for this solve.
+        cam_scale=jnp.ones_like(prob.cam_scale))
     U, V, W, g_c, g_p, _ = build_normal_blocks(cam, pts, anchored, False)
     frozen = 1.0 - prob.cam_mask
     U_aug = U + jax.vmap(jnp.diag)(frozen)
