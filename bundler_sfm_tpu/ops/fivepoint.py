@@ -46,7 +46,7 @@ import numpy as np
 
 from bundler_sfm_tpu.ops.essential import _M, decompose_essential_multipt
 from bundler_sfm_tpu.ops.fmatrix import fmatrix_residual
-from bundler_sfm_tpu.ops.ransac import sample_indices
+from bundler_sfm_tpu.ops.ransac import exact_matmuls, sample_indices
 
 # ---------------------------------------------------------------------------
 # Monomial bookkeeping (static, built at import time)
@@ -320,6 +320,7 @@ def generate_ematrix_hypotheses(q1: jnp.ndarray, q2: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("num_rounds",))
+@exact_matmuls
 def compute_pose_ransac_5pt(key, x1, x2, n_valid, f1, f2, threshold_px,
                             num_rounds: int = 512):
     """The `compute_pose_ransac` replacement (`lib/5point/5point.c:606`).

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from bundler_sfm_tpu.ops.linalg_small import cholesky_solve
-from bundler_sfm_tpu.ops.ransac import hartley_normalize, run_ransac, sample_indices
+from bundler_sfm_tpu.ops.ransac import exact_matmuls, hartley_normalize, run_ransac, sample_indices
 
 
 def fmatrix_residual(F: jnp.ndarray, r: jnp.ndarray, l: jnp.ndarray) -> jnp.ndarray:
@@ -82,6 +82,7 @@ def fit_fmatrix_linear(r: jnp.ndarray, l: jnp.ndarray, mask: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("num_rounds", "essential"))
+@exact_matmuls
 def estimate_fmatrix_ransac(key, x1, x2, n_valid, threshold,
                             num_rounds: int = 2048, essential: bool = False):
     """RANSAC F (or E) from padded correspondences.
@@ -115,6 +116,7 @@ def estimate_fmatrix_ransac(key, x1, x2, n_valid, threshold,
     return F_out, inl_out, jnp.maximum(jnp.sum(inl2), cnt)
 
 
+@exact_matmuls
 def refine_fmatrix_nonlinear(F0: jnp.ndarray, x1, x2, mask,
                              num_iters: int = 10) -> jnp.ndarray:
     """Gauss-Newton polish of F on its inliers, minimizing the symmetric
@@ -143,6 +145,7 @@ def refine_fmatrix_nonlinear(F0: jnp.ndarray, x1, x2, mask,
     return _closest_rank2(fvec.reshape(3, 3), essential=False)
 
 
+@exact_matmuls
 def estimate_ematrix(key, x1, x2, n_valid, f1, f2, threshold_px_sq,
                      num_rounds: int = 8192):
     """Essential matrix from pixel coords + known focals.

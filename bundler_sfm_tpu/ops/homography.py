@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from bundler_sfm_tpu.ops.linalg_small import cholesky_solve, inv3
-from bundler_sfm_tpu.ops.ransac import hartley_normalize, run_ransac
+from bundler_sfm_tpu.ops.ransac import exact_matmuls, hartley_normalize, run_ransac
 
 
 def homography_transfer_dist(H: jnp.ndarray, p1: jnp.ndarray,
@@ -60,6 +60,7 @@ def fit_homography_dlt(p1: jnp.ndarray, p2: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("num_rounds",))
+@exact_matmuls
 def estimate_homography_ransac(key, p1, p2, n_valid, threshold,
                                num_rounds: int = 256):
     """Batched-hypothesis homography RANSAC + inlier refit.

@@ -12,7 +12,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from bundler_sfm_tpu.ops.ransac import run_ransac
+from bundler_sfm_tpu.ops.ransac import exact_matmuls, run_ransac
 
 
 def fit_similarity_2d(p1: jnp.ndarray, p2: jnp.ndarray,
@@ -43,6 +43,7 @@ def similarity_transfer_dist(M: jnp.ndarray, p1: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("num_rounds",))
+@exact_matmuls
 def estimate_similarity_ransac(key, p1, p2, n_valid, threshold,
                                num_rounds: int = 256):
     """MotionRigid RANSAC (3-point samples, `src/Register.cpp:58-60`)."""

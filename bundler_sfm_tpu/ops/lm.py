@@ -19,6 +19,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from bundler_sfm_tpu.ops.ba import F_SCALE, K_SCALE
 from bundler_sfm_tpu.ops.linalg_small import cholesky_solve
 from bundler_sfm_tpu.ops.projection import project_one
 from bundler_sfm_tpu.ops.rotations import rot_update
@@ -73,16 +74,23 @@ def camera_refine(
         r = residuals(cam)
         return 0.5 * jnp.sum(r * r)
 
+    # LM in the scaled space q = s∘x like run_sfm's packed f·0.001 / k·5.0
+    # params (sfm.c:634-635): balances the focal/distortion columns of JᵀJ
+    # against the pose columns so mu·I damping can't freeze them (see
+    # ops/ba.py F_SCALE/K_SCALE).
+    inv_s = jnp.array([1, 1, 1, 1, 1, 1, 1 / F_SCALE, 1 / K_SCALE,
+                       1 / K_SCALE], dtype=dtype)
+
     def body(state):
         cam, mu, nu, cost, it, done = state
-        J = jax.jacfwd(residuals)(cam) * pmask[None, :]   # [2N+3, 9]
+        J = jax.jacfwd(residuals)(cam) * (pmask * inv_s)[None, :]
         r = residuals(cam)
         g = J.T @ r
         H = J.T @ J
         H = H + jnp.diag(1.0 - pmask)                     # PD for frozen
         Haug = H + mu * jnp.eye(CNP, dtype=dtype)
         delta = -cholesky_solve(Haug, g) * pmask
-        cam_new = cam + delta
+        cam_new = cam + delta * inv_s                     # δx = δq / s
         new_cost = cost_of(cam_new)
         pred = 0.5 * jnp.dot(delta, mu * delta - g)
         rho = (cost - new_cost) / jnp.maximum(pred, 1e-300)
@@ -101,7 +109,7 @@ def camera_refine(
         _, _, _, _, it, done = state
         return (it < max_iters) & ~done
 
-    J0 = jax.jacfwd(residuals)(cam0) * pmask[None, :]
+    J0 = jax.jacfwd(residuals)(cam0) * (pmask * inv_s)[None, :]
     mu0 = tau * jnp.maximum(jnp.max(jnp.diag(J0.T @ J0)), 1.0)
     state = (cam0, mu0, jnp.asarray(2.0, dtype), cost_of(cam0),
              jnp.int32(0), jnp.asarray(False))

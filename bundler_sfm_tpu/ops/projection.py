@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from bundler_sfm_tpu.ops.rotations import rodrigues, rot_update
+from bundler_sfm_tpu.ops.rotations import mv3, rodrigues, rot_update
 
 NUM_CAMERA_PARAMS = 9
 
@@ -45,7 +45,7 @@ def project_one(cam: jnp.ndarray, R0: jnp.ndarray, X: jnp.ndarray,
     """Project one 3D point through one camera. Fully differentiable."""
     c, w, f, k = cam[0:3], cam[3:6], cam[6], cam[7:9]
     R = rot_update(R0, w)
-    p = R @ (X - c)
+    p = mv3(R, X - c)
     u = -f * p[0:2] / p[2]
     if apply_distortion:
         rsq = (u[0] * u[0] + u[1] * u[1]) / (f * f)
@@ -71,13 +71,13 @@ def camera_depths(cams: jnp.ndarray, R0s: jnp.ndarray, pts: jnp.ndarray,
     def f(ci, pi):
         cam = cams[ci]
         R = rot_update(R0s[ci], cam[3:6])
-        return (R @ (pts[pi] - cam[0:3]))[2]
+        return mv3(R, pts[pi] - cam[0:3])[2]
     return jax.vmap(f)(obs_cam, obs_pt)
 
 
 def check_cheirality(point: jnp.ndarray, R: jnp.ndarray, center: jnp.ndarray):
     """True if point is in front of the camera (z<0 in cam frame)."""
-    return (R @ (point - center))[2] < 0.0
+    return mv3(R, point - center)[2] < 0.0
 
 
 def ray_directions(xy: jnp.ndarray, f, R: jnp.ndarray) -> jnp.ndarray:
@@ -88,7 +88,7 @@ def ray_directions(xy: jnp.ndarray, f, R: jnp.ndarray) -> jnp.ndarray:
     """
     v = jnp.stack([xy[..., 0] / f, xy[..., 1] / f,
                    -jnp.ones_like(xy[..., 0])], axis=-1)
-    return v @ R  # == (Rᵀ v) batched over leading dims
+    return (v[..., :, None] * R).sum(-2)  # exact Rᵀ v, batched
 
 
 def ray_angle(xy1, f1, R1, xy2, f2, R2) -> jnp.ndarray:

@@ -17,6 +17,22 @@ import jax
 import jax.numpy as jnp
 
 
+def exact_matmuls(fn):
+    """Trace `fn` with default_matmul_precision='highest'.
+
+    On TPU, f32 `@`/einsum default to bf16 MXU passes — a ~4e-3 relative
+    perturbation.  The geometry estimators fit models from normalized O(1)
+    quantities and score against px thresholds, where that noise shifts
+    inlier sets and model fits by whole pixels; their matmuls are tiny, so
+    exactness is free.  (The descriptor matcher and SIFT convs keep their
+    explicitly chosen faster precisions.)"""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 def sample_indices(key: jax.Array, num_rounds: int, sample_size: int,
                    n_valid: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     """[num_rounds, sample_size] distinct indices drawn from [0, n_valid).
@@ -32,6 +48,7 @@ def sample_indices(key: jax.Array, num_rounds: int, sample_size: int,
     return top.astype(jnp.int32)
 
 
+@exact_matmuls
 def run_ransac(
     key: jax.Array,
     fit_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from bundler_sfm_tpu.ops.linalg_small import solve3
-from bundler_sfm_tpu.ops.ransac import run_ransac
+from bundler_sfm_tpu.ops.ransac import exact_matmuls, run_ransac
 from bundler_sfm_tpu.ops.rotations import rq3, fix_intrinsics_sign
 
 
@@ -68,6 +68,7 @@ def projection_residual_cheirality(P: jnp.ndarray, X: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("num_rounds",))
+@exact_matmuls
 def find_projection_ransac(key, X, x, n_valid, threshold,
                            num_rounds: int = 4096):
     """RANSAC P from padded 2D-3D correspondences; threshold in px
@@ -103,6 +104,7 @@ class VerifiedCamera(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("num_rounds",))
+@exact_matmuls
 def find_and_verify_camera(key, X, x, n_valid, threshold, weak_threshold,
                            num_rounds: int = 4096,
                            min_inliers: int = 6) -> VerifiedCamera:

@@ -11,6 +11,21 @@ import jax
 import jax.numpy as jnp
 
 
+def mm3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact small matrix product a @ b via broadcast-multiply+sum.
+
+    On TPU, `@` on f32 routes through the MXU in bf16 passes; for rotation
+    algebra that is a ~4e-3 relative perturbation — enough to corrupt
+    projections by O(1 px) at f~700.  The elementwise form stays on the VPU
+    and is exact in the operand dtype (and trivially cheap at 3x3)."""
+    return (a[..., :, :, None] * b[..., None, :, :]).sum(-2)
+
+
+def mv3(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Exact small matrix-vector product a @ v (see mm3)."""
+    return (a * v[..., None, :]).sum(-1)
+
+
 def skew(w: jnp.ndarray) -> jnp.ndarray:
     """[w]x cross-product matrix; w: [..., 3] -> [..., 3, 3]."""
     zero = jnp.zeros_like(w[..., 0])
@@ -39,12 +54,12 @@ def rodrigues(w: jnp.ndarray) -> jnp.ndarray:
     b = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq)
     wx = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), wx.shape)
-    return eye + a[..., None, None] * wx + b[..., None, None] * (wx @ wx)
+    return eye + a[..., None, None] * wx + b[..., None, None] * mm3(wx, wx)
 
 
 def rot_update(R0: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """R = exp([w]x) @ R0 (lib/sfm-driver/sfm.c:115)."""
-    return rodrigues(w) @ R0
+    return mm3(rodrigues(w), R0)
 
 
 def log_rotation(R: jnp.ndarray) -> jnp.ndarray:

@@ -22,6 +22,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from bundler_sfm_tpu.ops.ransac import exact_matmuls
+
 from bundler_sfm_tpu.ops.linalg_small import solve3
 
 
@@ -68,6 +70,7 @@ def _gn_polish(X0, pv, Rs, ts, mask, num_iters: int):
     return X
 
 
+@exact_matmuls
 def triangulate_track(pv, Rs, ts, mask, num_polish: int = 5):
     """Triangulate one padded track; returns (X, rms_normalized_error)."""
     X = _linear_triangulate(pv, Rs, ts, mask)
@@ -86,6 +89,7 @@ triangulate_tracks = jax.jit(
 
 
 @functools.partial(jax.jit, static_argnames=("num_polish",))
+@exact_matmuls
 def triangulate_tracks_pixels(xy, fs, ks, Rs, centers, mask,
                               num_polish: int = 5):
     """N-view triangulation from PIXEL observations + full cameras.
@@ -120,6 +124,7 @@ def triangulate_tracks_pixels(xy, fs, ks, Rs, centers, mask,
     return X, jnp.sqrt(err)
 
 
+@exact_matmuls
 def triangulate_two_view(p_n, q_n, R1, t1, R2, t2, num_polish: int = 5):
     """Two-view triangulation in negated-normalized coords with w2c
     translations (reference `triangulate`, used by `find_extrinsics_essential`

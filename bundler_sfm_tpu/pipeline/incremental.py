@@ -41,6 +41,7 @@ from bundler_sfm_tpu.ops.triangulate import (
 )
 from bundler_sfm_tpu.pipeline.scene import CameraPose, Scene
 from bundler_sfm_tpu.pipeline.tracks import matches_from_tracks
+from bundler_sfm_tpu.utils import stage
 
 INIT_REPROJECTION_ERROR = 16.0   # src/BundleAdd.cpp:43
 ADD_REPROJECTION_ERROR = 16.0    # src/BundleAdd.cpp:44
@@ -857,10 +858,12 @@ def bundle_adjust_slow(scene: Scene, out_dir: Optional[str] = None,
             scene.ignore_in_bundle[img] = True
             continue
         if not cfg.skip_add_points:
-            add_all_new_points(recon, scene)
+            with stage("add_points"):
+                add_all_new_points(recon, scene)
         if not cfg.skip_full_bundle:
             run_sfm(recon, scene)
-            remove_bad_points(recon, scene)
+            with stage("prune"):
+                remove_bad_points(recon, scene)
         if out_dir:
             dump_round(recon, scene, out_dir, recon.num_cameras)
     if out_dir and cfg.bundle_output_file:
@@ -941,9 +944,14 @@ def bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
                        seed: int = 0) -> Reconstruction:
     """The full incremental loop (`BundleAdjustFast`,
     src/BundleFast.cpp:37-526)."""
-    from bundler_sfm_tpu.utils import stage
+    from bundler_sfm_tpu.utils import get_telemetry, stage
     with stage("total", verbose=True):
-        return _bundle_adjust_fast(scene, out_dir, seed)
+        recon = _bundle_adjust_fast(scene, out_dir, seed)
+    rep = get_telemetry().report()
+    log("[Telemetry] stage seconds: " + ", ".join(
+        f"{k}={v:.1f}" for k, v in sorted(
+            rep["stages_s"].items(), key=lambda kv: -kv[1])))
+    return recon
 
 
 def _bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
@@ -975,8 +983,9 @@ def _bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
             f"(>= {n_needed} matches)")
         added_any = False
         for img in batch_imgs:
-            ok = bundle_initialize_image(
-                recon, scene, img, recon.num_cameras, seed=seed + 31 * img)
+            with stage("register"):
+                ok = bundle_initialize_image(
+                    recon, scene, img, recon.num_cameras, seed=seed + 31 * img)
             if ok:
                 added_any = True
             else:
@@ -985,10 +994,12 @@ def _bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
             round_id += 1
             continue
         if not cfg.skip_add_points:
-            add_all_new_points(recon, scene)
+            with stage("add_points"):
+                add_all_new_points(recon, scene)
         if not cfg.skip_full_bundle:
             run_sfm(recon, scene)
-            remove_bad_points(recon, scene)
+            with stage("prune"):
+                remove_bad_points(recon, scene)
         if out_dir:
             dump_round(recon, scene, out_dir, recon.num_cameras)
         round_id += 1

@@ -203,10 +203,13 @@ def compute_geometric_constraints(scene: Scene, seed: int = 0,
     # `src/BundlerGeometry.cpp:119-139, 752-845`).
     if cfg.keypoint_border_width > 0 or cfg.keypoint_border_bottom > 0:
         remove_border_matches(scene)
+    from bundler_sfm_tpu.utils import stage
     if not cfg.skip_fmatrix:
-        compute_epipolar_geometry(scene, seed=seed)
+        with stage("verify_fmatrix"):
+            compute_epipolar_geometry(scene, seed=seed)
     if not cfg.skip_homographies:
-        compute_transforms(scene, seed=seed)
+        with stage("verify_homography"):
+            compute_transforms(scene, seed=seed)
     if snapshot_dir is not None:
         write_match_table(scene.num_images, scene.matches, ".ransac",
                           snapshot_dir)
