@@ -38,16 +38,15 @@ KERMIT = "/root/reference/examples/kermit"
 
 
 def extract_keys(image_dir, images, max_keys, contrast):
-    from bundler_sfm_tpu.features.sift import extract_sift, load_grayscale
-    infos, descs, dims = [], [], []
+    from bundler_sfm_tpu.features.sift import (extract_sift_batch,
+                                               load_grayscale)
     t0 = time.time()
-    for name in images:
-        gray = load_grayscale(os.path.join(image_dir, name))
-        info, desc = extract_sift(gray, max_keys_total=max_keys,
-                                  contrast_thr=contrast)
-        infos.append(info)
-        descs.append(desc)
-        dims.append((gray.shape[1], gray.shape[0]))
+    grays = [load_grayscale(os.path.join(image_dir, n)) for n in images]
+    dims = [(g.shape[1], g.shape[0]) for g in grays]
+    results = extract_sift_batch(grays, max_keys_total=max_keys,
+                                 contrast_thr=contrast)
+    infos = [r[0] for r in results]
+    descs = [r[1] for r in results]
     return infos, descs, dims, time.time() - t0
 
 

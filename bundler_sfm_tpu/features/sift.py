@@ -122,6 +122,7 @@ def detect_octave(base: jnp.ndarray, max_keys: int,
     contrast_thr/edge_thr are traced (no recompile when tuned).
     """
     gauss, dog, mag, ori = build_octave(base)
+    next_base = gauss[NUM_SCALES][::2, ::2]
     ext = _neighborhood_extrema(dog, contrast_thr)  # [s, H, W]
     s, H, W = ext.shape
     score = jnp.where(ext, jnp.abs(dog[1:-1]), 0.0)
@@ -180,7 +181,7 @@ def detect_octave(base: jnp.ndarray, max_keys: int,
     ys = yi.astype(jnp.float32) + offs[:, 1]
     sig = SIGMA0 * 2.0 ** ((si.astype(jnp.float32) + 1 + offs[:, 0])
                            / NUM_SCALES)
-    return xs, ys, sig, si + 1, valid, vals, mag, ori
+    return xs, ys, sig, si + 1, valid, vals, mag, ori, next_base
 
 
 def _level_patch(stack: jnp.ndarray, lvl, yi, xi):
@@ -313,10 +314,12 @@ def extract_octave(base: jnp.ndarray, max_keys: int,
     """Full per-octave pipeline: detect, orient, describe.
 
     Returns (info [K,4] = x, y, sigma, theta in octave coords; desc [K,128];
-    valid [K]) for up to max_keys keypoints with the dominant orientation
-    plus up to one secondary orientation each (packed into 2*max_keys rows).
+    valid [K]; next_base — the 2x-downsampled next-octave base, returned here
+    so the driver does not re-run the gaussian pyramid just to downsample)
+    for up to max_keys keypoints with the dominant orientation plus up to one
+    secondary orientation each (packed into 2*max_keys rows).
     """
-    xs, ys, sig, lvl, valid, resp, mag, ori = detect_octave(
+    xs, ys, sig, lvl, valid, resp, mag, ori, next_base = detect_octave(
         base, max_keys, contrast_thr, edge_thr)
     H, W = base.shape
     # Clamp so the PATCH window stays inside the image.
@@ -345,7 +348,7 @@ def extract_octave(base: jnp.ndarray, max_keys: int,
     info = jnp.concatenate([info0, info1])
     desc = jnp.concatenate([d0, d1]).astype(jnp.uint8)
     valid_all = jnp.concatenate([valid, valid & has2])
-    return info, desc, valid_all
+    return info, desc, valid_all, next_base
 
 
 def extract_sift(image: np.ndarray, max_keys_total: int = 4096,
@@ -376,7 +379,7 @@ def extract_sift(image: np.ndarray, max_keys_total: int = 4096,
     octave = 0
     while min(base.shape) >= 2 * PATCH and octave < 6:
         k = max(256, max_keys_total // (2 ** octave))
-        info, desc, valid = extract_octave(
+        info, desc, valid, next_base = extract_octave(
             base, k, jnp.float32(contrast_thr), jnp.float32(edge_thr))
         info = np.asarray(info)
         desc = np.asarray(desc)
@@ -388,9 +391,9 @@ def extract_sift(image: np.ndarray, max_keys_total: int = 4096,
         info[:, 2] *= scale
         infos.append(info)
         descs.append(desc)
-        # Next octave: downsample the s-th gaussian level (2x sigma0).
-        gauss, _, _, _ = build_octave(base)
-        base = gauss[NUM_SCALES][::2, ::2]
+        # Next octave: the 2x-downsampled s-th gaussian level (2x sigma0),
+        # computed inside extract_octave's pyramid (no second pyramid pass).
+        base = next_base
         scale *= 2.0
         octave += 1
 
@@ -404,6 +407,86 @@ def extract_sift(image: np.ndarray, max_keys_total: int = 4096,
         keep = order[:max_keys_total]
         info, desc = info[keep], desc[keep]
     return info.astype(np.float32), desc
+
+
+@functools.partial(jax.jit, static_argnames=("max_keys",))
+def _extract_octave_batch(bases, max_keys, contrast_thr, edge_thr):
+    return jax.vmap(
+        lambda b: extract_octave(b, max_keys, contrast_thr, edge_thr))(bases)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "sig_extra"))
+def _prepare_bases(stack, out_hw, sig_extra):
+    B = stack.shape[0]
+    img = stack.astype(jnp.float32) / 255.0
+    if out_hw != stack.shape[1:]:
+        img = jax.image.resize(img, (B,) + out_hw, "bilinear")
+    return jax.vmap(lambda x: _blur(x, sig_extra))(img)
+
+
+def extract_sift_batch(images, max_keys_total: int = 4096,
+                       upsample: bool = True,
+                       contrast_thr: float = CONTRAST_THR,
+                       edge_thr: float = EDGE_THR):
+    """extract_sift over MANY images in batched device calls.
+
+    Images are grouped by shape; each group runs the whole octave cascade as
+    ONE vmapped program per octave (≈12 dispatches per shape group instead of
+    ≈12 per image).  On the remote-TPU path dispatch latency dominates SIFT,
+    and on local hardware the batch fills the VPU.  Returns a list of
+    (info [n,4], desc [n,128]) in input order, matching per-image
+    extract_sift up to f32 conv rounding (~1e-4 px).
+    """
+    out = [None] * len(images)
+    groups = {}
+    for i, im in enumerate(images):
+        groups.setdefault(tuple(im.shape), []).append(i)
+    for shape, idxs in groups.items():
+        stack = np.stack([np.asarray(images[i], np.float32) for i in idxs])
+        H, W = shape
+        if upsample:
+            out_hw = (H * 2, W * 2)
+            first_scale = 0.5
+            sig_extra = float(np.sqrt(max(SIGMA0**2 - (2 * INIT_SIGMA)**2,
+                                          0.01)))
+        else:
+            out_hw = (H, W)
+            first_scale = 1.0
+            sig_extra = float(np.sqrt(max(SIGMA0**2 - INIT_SIGMA**2, 0.01)))
+        base = _prepare_bases(jnp.asarray(stack), out_hw, sig_extra)
+
+        per_info = [[] for _ in idxs]
+        per_desc = [[] for _ in idxs]
+        scale = first_scale
+        octave = 0
+        while min(base.shape[1:]) >= 2 * PATCH and octave < 6:
+            k = max(256, max_keys_total // (2 ** octave))
+            info, desc, valid, base = _extract_octave_batch(
+                base, k, jnp.float32(contrast_thr), jnp.float32(edge_thr))
+            info = np.asarray(info)
+            desc = np.asarray(desc)
+            valid = np.asarray(valid)
+            for bi in range(len(idxs)):
+                inf = info[bi][valid[bi]]
+                inf[:, 0] *= scale
+                inf[:, 1] *= scale
+                inf[:, 2] *= scale
+                per_info[bi].append(inf)
+                per_desc[bi].append(desc[bi][valid[bi]])
+            scale *= 2.0
+            octave += 1
+
+        for bi, i in enumerate(idxs):
+            info = (np.concatenate(per_info[bi]) if per_info[bi]
+                    else np.zeros((0, 4), np.float32))
+            desc = (np.concatenate(per_desc[bi]) if per_desc[bi]
+                    else np.zeros((0, 128), np.uint8))
+            if len(info) > max_keys_total:
+                order = np.lexsort((info[:, 1], info[:, 0], info[:, 2]))
+                keep = order[:max_keys_total]
+                info, desc = info[keep], desc[keep]
+            out[i] = (info.astype(np.float32), desc)
+    return out
 
 
 def load_grayscale(path: str) -> np.ndarray:

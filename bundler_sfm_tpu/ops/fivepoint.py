@@ -342,8 +342,11 @@ def compute_pose_ransac_5pt(key, x1, x2, n_valid, f1, f2, threshold_px,
     ok_flat = ok.reshape(R_ * H_)
 
     # Pixel-space F for scoring: F = K2⁻ᵀ (M E M) K1⁻¹ (5point.c E2-negation).
-    K1i = jnp.diag(jnp.array([1.0 / f1, 1.0 / f1, 1.0]))
-    K2i = jnp.diag(jnp.array([1.0 / f2, 1.0 / f2, 1.0]))
+    # Built with stack so f1/f2 may be traced (the AOT export cache keeps
+    # them as runtime args — baking them in would re-export per focal pair).
+    one = jnp.ones_like(q1[0, 0])
+    K1i = jnp.diag(jnp.stack([one / f1, one / f1, one]))
+    K2i = jnp.diag(jnp.stack([one / f2, one / f2, one]))
 
     valid = jnp.arange(n_pad) < n_valid
     thr = threshold_px * threshold_px
@@ -359,13 +362,37 @@ def compute_pose_ransac_5pt(key, x1, x2, n_valid, f1, f2, threshold_px,
     return Es_flat[best], counts[best], inls[best]
 
 
-def estimate_pose_5point(key, x1, x2, n_valid, f1, f2, threshold_px,
-                         num_rounds: int = 512):
-    """`EstimatePose5Point` (`src/Epipolar.cpp:87-114`): 5-point RANSAC then
-    (R, t) extraction with multi-point cheirality voting.
-    Returns (R, t, num_inliers, ok)."""
+def _pose_5point_traced(key, x1, x2, n_valid, f1, f2, threshold_px,
+                        num_rounds: int):
     E, cnt, inl = compute_pose_ransac_5pt(key, x1, x2, n_valid, f1, f2,
                                           threshold_px, num_rounds)
     mask = (jnp.arange(x1.shape[0]) < n_valid) & inl
     R, t, ok = decompose_essential_multipt(E, -x1 / f1, -x2 / f2, mask)
     return R, t, cnt, ok & (cnt > 0)
+
+
+def estimate_pose_5point(key, x1, x2, n_valid, f1, f2, threshold_px,
+                         num_rounds: int = 512):
+    """`EstimatePose5Point` (`src/Epipolar.cpp:87-114`): 5-point RANSAC then
+    (R, t) extraction with multi-point cheirality voting.
+    Returns (R, t, num_inliers, ok).
+
+    On non-CPU backends the call goes through the jax.export AOT cache
+    (utils/aot_cache.py): this solver's unrolled split-f64 polynomial algebra
+    takes MINUTES to lower on the remote-TPU backend, every process, and the
+    persistent compile cache cannot skip client-side lowering."""
+    dt = x1.dtype
+    f1 = jnp.asarray(f1, dt)
+    f2 = jnp.asarray(f2, dt)
+    threshold_px = jnp.asarray(threshold_px, dt)
+    if jax.default_backend() == "cpu":
+        return _pose_5point_traced(key, x1, x2, n_valid, f1, f2,
+                                   threshold_px, num_rounds)
+    from bundler_sfm_tpu.ops import fivepoint as _self
+    from bundler_sfm_tpu.ops import essential as _ess
+    from bundler_sfm_tpu.utils.aot_cache import cached_export
+    return cached_export(
+        "pose5pt",
+        functools.partial(_pose_5point_traced, num_rounds=num_rounds),
+        (key, x1, x2, jnp.asarray(n_valid, jnp.int32), f1, f2, threshold_px),
+        statics=(num_rounds,), src_modules=(_self, _ess))

@@ -339,11 +339,15 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             recon.points[p] = pts[k]
 
         # Per-camera reprojection stats + outlier threshold
-        # (src/Bundle.cpp:659-850).
-        from bundler_sfm_tpu.ops.projection import project_obs
-        pred = np.asarray(project_obs(
-            jnp.asarray(cam), jnp.asarray(Rf), jnp.asarray(pts),
-            jnp.asarray(obs_cam), jnp.asarray(obs_pt)))
+        # (src/Bundle.cpp:659-850).  Host-side f64 reprojection: exact (the
+        # thresholds gate outlier removal) and free of device round trips.
+        co = cam[obs_cam].astype(np.float64)
+        v = pts[obs_pt].astype(np.float64) - co[:, 0:3]
+        pc = np.einsum("oij,oj->oi", Rf[obs_cam].astype(np.float64), v)
+        uv = -pc[:, 0:2] / pc[:, 2:3]
+        rsq = np.sum(uv * uv, axis=1)
+        D = 1.0 + co[:, 7] * rsq + co[:, 8] * rsq * rsq
+        pred = co[:, 6:7] * D[:, None] * uv
         dists = np.linalg.norm(pred - obs_xy, axis=1)
         avg_dist = float(dists.mean()) if len(dists) else 0.0
 
@@ -552,10 +556,14 @@ def refine_camera_iterative(scene: Scene, img: int, cam0: np.ndarray,
     cam, R = refine(cam, R, cur_pts, cur_projs, False)
     for _ in range(20):
         cam, R = refine(cam, R, cur_pts, cur_projs, adjust_focal)
-        from bundler_sfm_tpu.ops.projection import project_one
-        pred = np.stack([
-            np.asarray(project_one(jnp.asarray(cam), jnp.asarray(R),
-                                   jnp.asarray(p))) for p in cur_pts])
+        # Host-side reprojection (w=0 after camera_refine): a per-point
+        # eager project_one loop here cost one device dispatch per point
+        # per trim iteration — thousands of round trips per registration.
+        pc = (cur_pts - cam[0:3]) @ R.T
+        uv = -pc[:, 0:2] / pc[:, 2:3]
+        rsq = np.sum(uv * uv, axis=1)
+        D = 1.0 + cam[7] * rsq + cam[8] * rsq * rsq
+        pred = cam[6] * D[:, None] * uv
         errs = np.linalg.norm(pred - cur_projs, axis=1)
         k95 = min(int(round(0.95 * len(errs))), len(errs) - 1)
         med = np.partition(errs, k95)[k95]
@@ -598,11 +606,12 @@ def bundle_initialize_image(recon: Reconstruction, scene: Scene, img: int,
     dt = _dt(cfg)
     Xp = np.zeros((pad, 3), dt); Xp[:n] = pts3
     xp = np.zeros((pad, 2), dt); xp[:n] = projs
-    ver = find_and_verify_camera(
-        jax.random.PRNGKey(seed), jnp.asarray(Xp), jnp.asarray(xp),
-        jnp.int32(n), jnp.asarray(cfg.projection_estimation_threshold, dt),
-        jnp.asarray(16.0 * cfg.projection_estimation_threshold, dt),
-        num_rounds=cfg.projection_rounds)
+    with stage("resection"):
+        ver = find_and_verify_camera(
+            jax.random.PRNGKey(seed), jnp.asarray(Xp), jnp.asarray(xp),
+            jnp.int32(n), jnp.asarray(cfg.projection_estimation_threshold, dt),
+            jnp.asarray(16.0 * cfg.projection_estimation_threshold, dt),
+            num_rounds=cfg.projection_rounds)
     if not bool(ver.ok):
         log(f"[BundleInitializeImage] {img}: pose estimation failed")
         return False
@@ -628,9 +637,10 @@ def bundle_initialize_image(recon: Reconstruction, scene: Scene, img: int,
     if len(weak) == 0:
         return False
     cam0 = np.concatenate([center, np.zeros(3), [f_new], np.zeros(2)])
-    cam, Rn, inl = refine_camera_iterative(
-        scene, img, cam0, R, pts3[weak], projs[weak],
-        adjust_focal=not cfg.fixed_focal_length)
+    with stage("refine_camera"):
+        cam, Rn, inl = refine_camera_iterative(
+            scene, img, cam0, R, pts3[weak], projs[weak],
+            adjust_focal=not cfg.fixed_focal_length)
     width = scene.dims[img][0]
     if len(inl) < 8 or cam[6] < 0.1 * width:
         log(f"[BundleInitializeImage] {img}: bad camera "
@@ -957,9 +967,10 @@ def bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
 def _bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
                         seed: int = 0) -> Reconstruction:
     cfg = scene.config
-    i_best, j_best = pick_initial_pair(scene, True)
-    log(f"[BundleAdjust] Initial pair: {i_best}, {j_best}")
-    recon = setup_initial_pair(scene, i_best, j_best, seed=seed)
+    with stage("init_pair"):
+        i_best, j_best = pick_initial_pair(scene, True)
+        log(f"[BundleAdjust] Initial pair: {i_best}, {j_best}")
+        recon = setup_initial_pair(scene, i_best, j_best, seed=seed)
     run_sfm(recon, scene, remove_outliers=not cfg.fix_necker)
     if cfg.fix_necker:
         fix_necker_reversal(recon, scene)

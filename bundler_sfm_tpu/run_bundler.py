@@ -45,7 +45,7 @@ def main(argv=None) -> int:
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
     from bundler_sfm_tpu.config import default_pipeline_config
-    from bundler_sfm_tpu.features.sift import extract_sift, load_grayscale
+    from bundler_sfm_tpu.features.sift import extract_sift_batch, load_grayscale
     from bundler_sfm_tpu.io.exif import extract_focal_pixels
     from bundler_sfm_tpu.io.keyfile import keys_to_centered, write_key_file
     from bundler_sfm_tpu.io.listfile import ImageEntry, write_list_file
@@ -76,16 +76,15 @@ def main(argv=None) -> int:
         entries.append(ImageEntry(path, init_focal=focal))
     write_list_file("list.txt", entries)
 
-    # 2. SIFT
-    infos, descs, dims = [], [], []
+    # 2. SIFT (batched: all same-shape images run per-octave as one program)
     t0 = time.time()
-    for e in entries:
-        gray = load_grayscale(e.name)
-        info, desc = extract_sift(gray, max_keys_total=args.max_keys,
-                                  contrast_thr=args.contrast_thr)
-        infos.append(info)
-        descs.append(desc)
-        dims.append((gray.shape[1], gray.shape[0]))
+    grays = [load_grayscale(e.name) for e in entries]
+    dims = [(g.shape[1], g.shape[0]) for g in grays]
+    results = extract_sift_batch(grays, max_keys_total=args.max_keys,
+                                 contrast_thr=args.contrast_thr)
+    infos = [r[0] for r in results]
+    descs = [r[1] for r in results]
+    for e, info, desc in zip(entries, infos, descs):
         print(f"[RunBundler] {os.path.basename(e.name)}: {len(info)} keys")
         if args.write_keys:
             base = os.path.splitext(os.path.basename(e.name))[0]

@@ -1,0 +1,87 @@
+"""On-disk AOT trace cache built on jax.export.
+
+The persistent compilation cache only skips the BACKEND compile; the
+client-side trace + StableHLO lowering still runs every process.  For most
+programs that is milliseconds, but the 5-point solver's polynomial
+machinery (unrolled degree-10 algebra in split-f64, see ops/fivepoint.py)
+lowers in minutes on the remote-TPU backend.  jax.export captures the
+POST-lowering artifact: serialize once, deserialize (~0 s) in every later
+process, and let the compile cache cover the rest.
+
+Keying: function name + source hashes of the modules that define it +
+static args + platform/device kind + abstract shapes/dtypes of the call.
+Any source edit invalidates the artifact automatically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+
+_MEM: Dict[str, Callable] = {}
+
+
+def _cache_dir() -> str:
+    base = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    return os.path.join(base, "exports") if base else ""
+
+
+def _source_hash(src_modules: Sequence) -> bytes:
+    h = hashlib.sha256()
+    for mod in src_modules:
+        path = getattr(mod, "__file__", None)
+        if path and os.path.exists(path):
+            with open(path, "rb") as f:
+                h.update(f.read())
+    return h.digest()
+
+
+def cached_export(name: str, fn: Callable, args: Tuple,
+                  statics: Tuple = (), src_modules: Sequence = ()) -> Tuple:
+    """Run jitted `fn(*args)` through the export cache.
+
+    `fn` must be a pure function of `args` (all arrays / scalars that should
+    stay traced — anything baked in must be listed in `statics` so it keys
+    the artifact).  Falls back to a plain jit call when no cache dir is
+    configured.
+    """
+    cdir = _cache_dir()
+    if not cdir:
+        return jax.jit(fn)(*args)
+
+    dev = jax.devices()[0]
+    h = hashlib.sha256()
+    h.update(name.encode())
+    h.update(_source_hash(src_modules))
+    h.update(repr(statics).encode())
+    h.update(dev.platform.encode())
+    h.update(str(getattr(dev, "device_kind", "")).encode())
+    for leaf in jax.tree_util.tree_leaves(args):
+        aval = jax.api_util.shaped_abstractify(leaf)
+        h.update(str(aval).encode())
+    key = f"{name}-{h.hexdigest()[:32]}"
+
+    call = _MEM.get(key)
+    if call is None:
+        from jax import export as jexport
+        path = os.path.join(cdir, key + ".jaxexport")
+        exp = None
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    exp = jexport.deserialize(f.read())
+            except Exception:
+                exp = None    # stale/corrupt artifact: re-export below
+        if exp is None:
+            exp = jexport.export(jax.jit(fn))(*args)
+            os.makedirs(cdir, exist_ok=True)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(exp.serialize())
+            os.replace(tmp, path)
+        call = jax.jit(exp.call)
+        _MEM[key] = call
+    return call(*args)

@@ -55,7 +55,7 @@ def main():
     print(f"extract_octave: {t*1e3:8.1f} ms", flush=True)
 
     # Transfer cost of the outputs.
-    info, desc, valid = sift.extract_octave(base, 4096, jnp.float32(0.02),
+    info, desc, valid, _ = sift.extract_octave(base, 4096, jnp.float32(0.02),
                                             jnp.float32(10.0))
     jax.block_until_ready(desc)
     t0 = time.perf_counter()

@@ -49,3 +49,18 @@ def test_sift_descriptor_shift_invariance(rng):
     dy = i2[m[:, 1], 1] - i1[m[:, 0], 1]
     good = (np.abs(dx - 13) < 2) & (np.abs(dy - 8) < 2)
     assert good.mean() > 0.7
+
+
+def test_sift_batch_matches_single(rng):
+    """extract_sift_batch == per-image extract_sift (up to f32 conv
+    rounding), across mixed shapes."""
+    from bundler_sfm_tpu.features.sift import extract_sift_batch
+    imgs = [make_blob_image(rng)[0] for _ in range(2)]
+    imgs.append(make_blob_image(rng)[0].T.copy())   # different shape group
+    batch = extract_sift_batch(imgs, max_keys_total=256)
+    for im, (bi, bd) in zip(imgs, batch):
+        info, desc = extract_sift(im, max_keys_total=256)
+        assert len(info) == len(bi)
+        assert np.allclose(info, bi, atol=1e-3)
+        # Descriptors are uint8; rounding can flip an occasional cell.
+        assert (desc.astype(int) - bd.astype(int) == 0).mean() > 0.999
