@@ -176,11 +176,12 @@ def setup_initial_pair(scene: Scene, i_best: int, j_best: int,
         dt = _dt(cfg)
         x1p = np.zeros((pad, 2), dt); x1p[:n] = x1
         x2p = np.zeros((pad, 2), dt); x2p[:n] = x2
-        R, t, cnt, ok = estimate_pose_5point(
-            jax.random.PRNGKey(seed + 101), jnp.asarray(x1p),
-            jnp.asarray(x2p), jnp.int32(n), f0, f1,
-            jnp.asarray(0.25 * cfg.fmatrix_threshold, dt),
-            num_rounds=cfg.fivepoint_rounds)
+        with stage("init_5pt"):
+            R, t, cnt, ok = estimate_pose_5point(
+                jax.random.PRNGKey(seed + 101), jnp.asarray(x1p),
+                jnp.asarray(x2p), jnp.int32(n), f0, f1,
+                jnp.asarray(0.25 * cfg.fmatrix_threshold, dt),
+                num_rounds=cfg.fivepoint_rounds)
         if bool(ok):
             R1 = np.asarray(R)
             c1 = np.asarray(pose_to_center(R, t))
@@ -204,19 +205,27 @@ def setup_initial_pair(scene: Scene, i_best: int, j_best: int,
     dt = _dt(cfg)
     n_m = len(pair_matches)
     if solved and n_m:
-        p_all = scene.key_xy[i_best][pair_matches[:, 0]].astype(dt)
-        q_all = scene.key_xy[j_best][pair_matches[:, 1]].astype(dt)
+        # Pad to the same bucket as the 5-point call so the initial pair
+        # reuses one compiled shape across datasets (every new shape costs
+        # a full remote compile on the tunnel backend).
+        padm = _bucket(n_m, 64)
+        p_all = np.zeros((padm, 2), dt)
+        q_all = np.zeros((padm, 2), dt)
+        p_all[:n_m] = scene.key_xy[i_best][pair_matches[:, 0]]
+        q_all[:n_m] = scene.key_xy[j_best][pair_matches[:, 1]]
+        q_all[n_m:] = 1.0   # keep padded rays well-conditioned
         t1 = (-R0 @ c0).astype(dt)
         t2 = (-R1 @ c1).astype(dt)
-        Xs, errs = jax.vmap(
-            lambda pp, qq: triangulate_two_view(
-                -pp / f0, -qq / f1, jnp.asarray(R0, dt), jnp.asarray(t1),
-                jnp.asarray(R1, dt), jnp.asarray(t2)))(
-            jnp.asarray(p_all), jnp.asarray(q_all))
-        Xs = np.asarray(Xs)
+        with stage("init_triangulate"):
+            Xs, errs = jax.vmap(
+                lambda pp, qq: triangulate_two_view(
+                    -pp / f0, -qq / f1, jnp.asarray(R0, dt), jnp.asarray(t1),
+                    jnp.asarray(R1, dt), jnp.asarray(t2)))(
+                jnp.asarray(p_all), jnp.asarray(q_all))
+        Xs = np.asarray(Xs)[:n_m]
         # Reference error gate: projection_estimation_threshold on the PIXEL
         # error; err here is normalized rms -> scale by mean focal.
-        errs = np.asarray(errs) * 0.5 * (f0 + f1)
+        errs = np.asarray(errs)[:n_m] * 0.5 * (f0 + f1)
     for mi, (k1, k2) in enumerate(pair_matches):
         p = scene.key_xy[i_best][k1]
         if not solved:
