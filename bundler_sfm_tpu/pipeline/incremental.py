@@ -145,6 +145,18 @@ def pick_initial_pair(scene: Scene, use_init_focal_only: bool
     return 0, 1
 
 
+@jax.jit
+def _triangulate_pairs_jit(p_all, q_all, f0, f1, R0, t1, R1, t2):
+    """Batched two-view triangulation of the initial pair's matches.
+
+    Jitted at module level: an un-jitted vmap here executed every primitive
+    eagerly — hundreds of device round trips per reconstruction on the
+    tunnel backend."""
+    return jax.vmap(
+        lambda pp, qq: triangulate_two_view(-pp / f0, -qq / f1,
+                                            R0, t1, R1, t2))(p_all, q_all)
+
+
 def setup_initial_pair(scene: Scene, i_best: int, j_best: int,
                        seed: int = 0) -> Reconstruction:
     """`SetupInitialCameraPair` (src/Bundle.cpp:1704-1884)."""
@@ -217,11 +229,11 @@ def setup_initial_pair(scene: Scene, i_best: int, j_best: int,
         t1 = (-R0 @ c0).astype(dt)
         t2 = (-R1 @ c1).astype(dt)
         with stage("init_triangulate"):
-            Xs, errs = jax.vmap(
-                lambda pp, qq: triangulate_two_view(
-                    -pp / f0, -qq / f1, jnp.asarray(R0, dt), jnp.asarray(t1),
-                    jnp.asarray(R1, dt), jnp.asarray(t2)))(
-                jnp.asarray(p_all), jnp.asarray(q_all))
+            Xs, errs = _triangulate_pairs_jit(
+                jnp.asarray(p_all), jnp.asarray(q_all),
+                jnp.asarray(f0, dt), jnp.asarray(f1, dt),
+                jnp.asarray(R0, dt), jnp.asarray(t1),
+                jnp.asarray(R1, dt), jnp.asarray(t2))
         Xs = np.asarray(Xs)[:n_m]
         # Reference error gate: projection_estimation_threshold on the PIXEL
         # error; err here is normalized rms -> scale by mean focal.
@@ -588,6 +600,189 @@ def refine_camera_iterative(scene: Scene, img: int, cam0: np.ndarray,
         if len(cur_pts) == 0:
             break
     return cam, R, idxs
+
+
+def _resect_batch(rkeys, X, x, nv, thr, weak_thr, num_rounds):
+    return jax.vmap(
+        lambda k, Xi, xi, ni: find_and_verify_camera(
+            k, Xi, xi, ni, thr, weak_thr, num_rounds=num_rounds)
+    )(rkeys, X, x, nv)
+
+# camera_refine batched over images with per-image focal constraints.
+_refine_batch = jax.vmap(
+    camera_refine,
+    in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, None, None, None))
+
+
+def bundle_initialize_images(recon: Reconstruction, scene: Scene,
+                             imgs: Sequence[int], seed: int) -> List[int]:
+    """Batched `BundleInitializeImage` over one registration round.
+
+    The reference registers candidates one at a time
+    (src/BundleFast.cpp:300-336); here the whole round runs as ONE vmapped
+    resection RANSAC plus a lockstep masked refine-and-trim loop — a handful
+    of device dispatches for the batch instead of dozens per image.  Gating
+    and trim rules match bundle_initialize_image exactly.  Returns the list
+    of image ids that registered (cameras appended to `recon` in that
+    order); failures are the caller's to mark ignored.
+    """
+    cfg = scene.config
+    dt = _dt(cfg)
+    cands = []
+    for img in imgs:
+        pts3, projs, pt_idx, keys = [], [], [], []
+        for tr, key in zip(scene.visible_points[img],
+                           scene.visible_keys[img]):
+            pt = recon.track_extra[tr]
+            if pt < 0 or len(recon.pt_views[pt]) == 0:
+                continue
+            pts3.append(recon.points[pt])
+            projs.append(scene.key_xy[img][key])
+            pt_idx.append(pt)
+            keys.append(key)
+        if len(pts3) < cfg.min_max_matches:
+            log(f"[BundleInitializeImage] {img}: too few matches")
+            continue
+        cands.append(dict(img=img, pts3=np.stack(pts3),
+                          projs=np.stack(projs), pt_idx=pt_idx, keys=keys))
+    if not cands:
+        return []
+
+    B = len(cands)
+    Bp = _round_up(B, 4)
+    pad = _bucket(max(len(c["pts3"]) for c in cands), 64)
+    Xp = np.zeros((Bp, pad, 3), dt)
+    xp = np.zeros((Bp, pad, 2), dt)
+    nv = np.zeros(Bp, np.int32)
+    for b, c in enumerate(cands):
+        n = len(c["pts3"])
+        Xp[b, :n] = c["pts3"]
+        xp[b, :n] = c["projs"]
+        nv[b] = n
+    nv[B:] = 6  # keep padded lanes solvable
+    Xp[B:, :6] = Xp[0, :6] if B else 0.0
+    xp[B:, :6] = xp[0, :6] if B else 0.0
+
+    rkeys = jax.random.split(jax.random.PRNGKey(seed), Bp)
+    with stage("resection"):
+        ver = _resect_batch(
+            rkeys, jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(nv),
+            jnp.asarray(cfg.projection_estimation_threshold, dt),
+            jnp.asarray(16.0 * cfg.projection_estimation_threshold, dt),
+            cfg.projection_rounds)
+        ok = np.asarray(ver.ok)
+        Ks = np.asarray(ver.K)
+        Rs = np.asarray(ver.R)
+        ts = np.asarray(ver.t)
+        weak = np.asarray(ver.inliers_weak)
+
+    # Per-image focal initialization (src/Bundle.cpp:3131-3172) + refine
+    # state.  `live` indexes into cands.
+    live = []
+    cam0 = np.zeros((Bp, CNP), dt)
+    R0 = np.tile(np.eye(3, dtype=dt), (Bp, 1, 1))
+    masks = np.zeros((Bp, pad), bool)
+    fcs = np.zeros(Bp, dt)
+    fws = np.zeros(Bp, dt)
+    for b, c in enumerate(cands):
+        img = c["img"]
+        if not ok[b]:
+            log(f"[BundleInitializeImage] {img}: pose estimation failed")
+            continue
+        if not weak[b, :nv[b]].any():
+            continue
+        K, R, t = Ks[b], Rs[b], ts[b]
+        if cfg.fixed_focal_length:
+            f_new = cfg.init_focal_length
+        elif cfg.use_focal_estimate and scene.has_init_focal(img):
+            f_init = scene.init_focal(img)
+            f_obs = 0.5 * (K[0, 0] + K[1, 1])
+            ratio = f_init / f_obs if f_init > f_obs else f_obs / f_init
+            f_new = f_init if (ratio < 1.4 or cfg.trust_focal_estimate) \
+                else f_obs
+        elif scene.has_init_focal(img) and cfg.use_focal_estimate:
+            f_new = scene.init_focal(img)
+        else:
+            f_new = 0.5 * (K[0, 0] + K[1, 1])
+        cam0[b, 0:3] = -R.T @ t
+        cam0[b, 6] = f_new
+        R0[b] = R
+        masks[b] = weak[b]
+        if cfg.constrain_focal and scene.has_init_focal(img):
+            fcs[b] = scene.init_focal(img)
+            fws[b] = cfg.constrain_focal_weight
+        live.append(b)
+    if not live:
+        return []
+
+    def refine_all(cam, R, adjust_f):
+        with stage("refine_camera"):
+            c, Rn, _ = _refine_batch(
+                jnp.asarray(cam), jnp.asarray(R), jnp.asarray(Xp),
+                jnp.asarray(xp), jnp.asarray(masks), adjust_f,
+                cfg.estimate_distortion, jnp.asarray(fcs), jnp.asarray(fws),
+                cfg.distortion_weight, 50, 1e-3)
+            return np.asarray(c), np.asarray(Rn)
+
+    # First pass with focal fixed (src/Bundle.cpp:2562), then the
+    # refine-and-trim loop in lockstep across the batch (each image's trim
+    # rule identical to refine_camera_iterative).
+    adjust_focal = not cfg.fixed_focal_length
+    cam, R = refine_all(cam0, R0, False)
+    done = np.zeros(Bp, bool)
+    done[[b for b in range(Bp) if b not in live]] = True
+    for _ in range(20):
+        cam, R = refine_all(cam, R, adjust_focal)
+        for b in live:
+            if done[b]:
+                continue
+            sel = np.nonzero(masks[b])[0]
+            if len(sel) == 0:
+                done[b] = True
+                continue
+            pts_b = Xp[b, sel]
+            pc = (pts_b - cam[b, 0:3]) @ R[b].T
+            uv = -pc[:, 0:2] / pc[:, 2:3]
+            rsq = np.sum(uv * uv, axis=1)
+            Dd = 1.0 + cam[b, 7] * rsq + cam[b, 8] * rsq * rsq
+            pred = cam[b, 6] * Dd[:, None] * uv
+            errs = np.linalg.norm(pred - xp[b, sel], axis=1)
+            k95 = min(int(round(0.95 * len(errs))), len(errs) - 1)
+            med = np.partition(errs, k95)[k95]
+            thr = np.clip(1.2 * cfg.outlier_num_stddev * med,
+                          cfg.min_proj_error_threshold,
+                          cfg.max_proj_error_threshold)
+            keep = errs < thr
+            if keep.all():
+                done[b] = True
+            else:
+                masks[b, sel[~keep]] = False
+        if done.all():
+            break
+
+    registered = []
+    from bundler_sfm_tpu.utils import counter
+    for b in live:
+        c = cands[b]
+        img = c["img"]
+        inl = np.nonzero(masks[b, :nv[b]])[0]
+        width = scene.dims[img][0]
+        if len(inl) < 8 or cam[b, 6] < 0.1 * width:
+            log(f"[BundleInitializeImage] {img}: bad camera "
+                f"({len(inl)} inliers, f={cam[b, 6]:.1f})")
+            continue
+        cam_slot = recon.num_cameras
+        for i in inl:
+            recon.key_extra[img][c["keys"][i]] = c["pt_idx"][i]
+            recon.pt_views[c["pt_idx"][i]].append((cam_slot, c["keys"][i]))
+        recon.added_order.append(img)
+        recon.cam_R.append(R[b].astype(np.float64))
+        recon.cam_params.append(cam[b].astype(np.float64))
+        counter("images_registered")
+        log(f"[BundleInitializeImage] {img}: registered with {len(inl)} "
+            f"points, f={cam[b, 6]:.2f}")
+        registered.append(img)
+    return registered
 
 
 def bundle_initialize_image(recon: Reconstruction, scene: Scene, img: int,
@@ -1001,14 +1196,12 @@ def _bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
         batch_imgs = [i for i, c in counts.items() if c >= n_needed]
         log(f"[BundleAdjustFast] Registering {len(batch_imgs)} images "
             f"(>= {n_needed} matches)")
-        added_any = False
+        with stage("register"):
+            registered = bundle_initialize_images(
+                recon, scene, batch_imgs, seed=seed + 131 * round_id)
+        added_any = bool(registered)
         for img in batch_imgs:
-            with stage("register"):
-                ok = bundle_initialize_image(
-                    recon, scene, img, recon.num_cameras, seed=seed + 31 * img)
-            if ok:
-                added_any = True
-            else:
+            if img not in registered:
                 scene.ignore_in_bundle[img] = True
         if not added_any:
             round_id += 1

@@ -66,22 +66,35 @@ def cached_export(name: str, fn: Callable, args: Tuple,
 
     call = _MEM.get(key)
     if call is None:
+        import time as _time
+        from bundler_sfm_tpu.utils import get_telemetry
         from jax import export as jexport
         path = os.path.join(cdir, key + ".jaxexport")
         exp = None
         if os.path.exists(path):
             try:
+                t0 = _time.perf_counter()
                 with open(path, "rb") as f:
                     exp = jexport.deserialize(f.read())
+                get_telemetry().add_time("aot_deserialize",
+                                         _time.perf_counter() - t0)
             except Exception:
                 exp = None    # stale/corrupt artifact: re-export below
         if exp is None:
+            t0 = _time.perf_counter()
             exp = jexport.export(jax.jit(fn))(*args)
             os.makedirs(cdir, exist_ok=True)
             tmp = path + f".tmp{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(exp.serialize())
             os.replace(tmp, path)
-        call = jax.jit(exp.call)
+            get_telemetry().add_time("aot_export",
+                                     _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        lowered = jax.jit(exp.call).lower(*args)
+        get_telemetry().add_time("aot_lower", _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        call = lowered.compile()   # AOT-compiled; calling it never re-lowers
+        get_telemetry().add_time("aot_compile", _time.perf_counter() - t0)
         _MEM[key] = call
     return call(*args)
