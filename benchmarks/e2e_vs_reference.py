@@ -40,6 +40,13 @@ KERMIT = "/root/reference/examples/kermit"
 def extract_keys(image_dir, images, max_keys, contrast):
     from bundler_sfm_tpu.features.sift import (extract_sift_batch,
                                                load_grayscale)
+    # Cache extracted keys on disk: profiling reruns shouldn't re-pay SIFT.
+    cache = os.path.join("/tmp", "sift_cache_%s_%d_%g.npz" % (
+        os.path.basename(image_dir.rstrip("/")), max_keys, contrast))
+    if os.path.exists(cache):
+        z = np.load(cache, allow_pickle=True)
+        return (list(z["infos"]), list(z["descs"]),
+                [tuple(d) for d in z["dims"]], float(z["t"]))
     t0 = time.time()
     grays = [load_grayscale(os.path.join(image_dir, n)) for n in images]
     dims = [(g.shape[1], g.shape[0]) for g in grays]
@@ -47,7 +54,11 @@ def extract_keys(image_dir, images, max_keys, contrast):
                                  contrast_thr=contrast)
     infos = [r[0] for r in results]
     descs = [r[1] for r in results]
-    return infos, descs, dims, time.time() - t0
+    t = time.time() - t0
+    np.savez(cache, infos=np.array(infos, dtype=object),
+             descs=np.array(descs, dtype=object),
+             dims=np.array(dims), t=t)
+    return infos, descs, dims, t
 
 
 def stage_reference_inputs(workdir, image_dir, images, infos, descs, focal):
@@ -155,6 +166,8 @@ def run_ours(workdir, images, image_dir, infos, descs, dims, focal, seed=0):
     compute_geometric_constraints(scene, seed=seed)
     bundle_adjust_fast(scene, out_dir=out, seed=seed)
     t_bundle = time.time() - t0
+    from bundler_sfm_tpu.utils import get_telemetry
+    get_telemetry().dump(os.path.join(workdir, "ours_telemetry.json"))
     return t_match, t_bundle, os.path.join(out, "bundle.out")
 
 
@@ -175,6 +188,7 @@ def main():
 
     import tempfile
     workdir = args.workdir or tempfile.mkdtemp(prefix="e2e_vs_ref_")
+    os.makedirs(workdir, exist_ok=True)
     result = {"dataset": os.path.basename(args.image_dir.rstrip("/")),
               "images": len(images),
               "keys": int(sum(len(i) for i in infos)),

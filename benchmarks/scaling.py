@@ -1,0 +1,172 @@
+"""Multi-chip scaling analysis for the sharded BA + matching paths.
+
+Only ONE real TPU chip is reachable in this environment, and virtual CPU
+devices share the host's 2 physical cores — a wall-clock "efficiency" sweep
+over a virtual mesh measures core contention, not scaling.  This benchmark
+instead derives the projected multi-chip numbers the honest way:
+
+  * compute: MEASURED on the real chip.  Point-sharded BA
+    (`parallel/ba_sharded.py`) gives each of D chips the full camera set
+    plus 1/D of the points/observations, so the per-chip LM-iteration cost
+    at D chips equals the measured unsharded iteration time on a 1/D-size
+    problem (same cameras, same replicated Schur solve — the Amdahl serial
+    term is therefore included in the measurement).
+  * communication: MODELED from the exact psum payloads of
+    `run_ba_sharded` (U[C,9,9] + g_c[C,9] + S_off[C,C,9,9] + rhs[C,9] +
+    cost/pmax scalars per iteration) with a ring all-reduce over ICI:
+    2·(D−1)/D · bytes / bandwidth + per-hop latency.
+
+Matching (`parallel/matching_sharded.py`) needs NO cross-device
+communication — each chip matches its own pair shard — so its scaling is
+load-balance-limited; we measure throughput vs per-device batch size to
+bound the imbalance penalty.
+
+Usage:
+    python benchmarks/scaling.py [--cams 64] [--pts 32768] [--obs_per_pt 8]
+        [--iters 30] [--ici_gbps 100] [--hop_us 1.0]
+
+Prints one JSON line with measured per-shard times and projected
+efficiency at D = 1,2,4,8,16 chips.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_ba(num_cams, num_pts, obs_per_pt, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0, 1, (num_pts, 3)) + [0, 0, 6]
+    centers = rng.normal(0, 0.5, (num_cams, 3))
+    R = np.tile(np.eye(3), (num_cams, 1, 1))
+    f = 800.0
+    obs_pt = np.repeat(np.arange(num_pts), obs_per_pt)
+    obs_cam = np.concatenate(
+        [rng.choice(num_cams, obs_per_pt, replace=False)
+         for _ in range(num_pts)])
+    pc = np.einsum("nij,nj->ni", R[obs_cam], pts[obs_pt] - centers[obs_cam])
+    xy = -f * pc[:, :2] / pc[:, 2:3] + rng.normal(0, 0.5, (len(obs_pt), 2))
+    cam0 = np.zeros((num_cams, 9))
+    cam0[:, :3] = centers + rng.normal(0, 0.01, centers.shape)
+    cam0[:, 6] = f * (1 + rng.normal(0, 0.01, num_cams))
+    return (R, cam0, pts + rng.normal(0, 0.02, pts.shape),
+            obs_cam.astype(np.int32), obs_pt.astype(np.int32), xy)
+
+
+def measure_ba_iter(num_cams, num_pts, obs_per_pt, iters, dtype):
+    """Unsharded LM iteration time on this chip for the given shard size."""
+    import jax
+    from bundler_sfm_tpu.ops.ba import build_problem, run_ba
+    R, cam0, pts, oc, op, oxy = synth_ba(num_cams, num_pts, obs_per_pt)
+    prob = build_problem(R, cam0, pts, oc, op, oxy, est_focal=True,
+                         est_distortion=True, dtype=dtype)
+    r = run_ba(prob, max_iters=iters)          # compile + warm
+    float(np.asarray(r.cost))
+    prob2 = build_problem(R, cam0 + 1e-7, pts, oc, op, oxy, est_focal=True,
+                          est_distortion=True, dtype=dtype)
+    t0 = time.perf_counter()
+    r = run_ba(prob2, max_iters=iters)
+    float(np.asarray(r.cost))
+    dt = time.perf_counter() - t0
+    return dt / max(int(r.iters), 1)
+
+
+def comm_seconds_per_iter(num_cams, D, ici_bytes_per_s, hop_s):
+    """Ring all-reduce cost of run_ba_sharded's per-iteration psums."""
+    if D == 1:
+        return 0.0
+    C = num_cams
+    fl = 4  # f32 on chip
+    # blocks(): U[C,9,9], g_c[C,9], cost; step(): S_off[C,C,9,9], rhs[C,9];
+    # body(): pred/dnorm/pnorm/gmax scalars (4 psums/pmaxes).
+    payload = fl * (C * 81 + C * 9 + 1 + C * C * 81 + C * 9 + 4)
+    bw_term = 2.0 * (D - 1) / D * payload / ici_bytes_per_s
+    lat_term = 2.0 * (D - 1) * hop_s * 6   # 6 collective launches/iter
+    return bw_term + lat_term
+
+
+def measure_matching(keys_per_image, pairs_per_batch):
+    """MXU matcher throughput vs per-device batch size (pairs/s)."""
+    from bundler_sfm_tpu.ops.matching import DescriptorTable
+    rng = np.random.default_rng(0)
+    n_img = 32
+    base = rng.integers(0, 256, (keys_per_image, 128)).astype(np.int32)
+    descs = [np.clip(base + rng.integers(-6, 7, base.shape), 0, 255
+                     ).astype(np.uint8)[rng.permutation(keys_per_image)]
+             for _ in range(n_img)]
+    table = DescriptorTable(descs)
+    all_pairs = [(i, j) for i in range(n_img) for j in range(i + 1, n_img)]
+    out = {}
+    for bs in pairs_per_batch:
+        pairs = all_pairs[:4 * bs]
+        _ = table.match_pairs(pairs, batch=bs, min_matches=16)   # compile
+        t0 = time.perf_counter()
+        _ = table.match_pairs(pairs, batch=bs, min_matches=16)
+        dt = time.perf_counter() - t0
+        out[bs] = round(len(pairs) / dt, 1)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cams", type=int, default=64)
+    ap.add_argument("--pts", type=int, default=32768)
+    ap.add_argument("--obs_per_pt", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--ici_gbps", type=float, default=100.0,
+                    help="effective all-reduce ring bandwidth per chip, GB/s")
+    ap.add_argument("--hop_us", type=float, default=1.0)
+    args = ap.parse_args()
+
+    import jax
+    platform = jax.devices()[0].platform
+    dtype = np.float32 if platform != "cpu" else np.float64
+
+    sweep = [1, 2, 4, 8, 16]
+    measured_ms = {}
+    for D in sweep:
+        p = max(args.pts // D, 1)
+        measured_ms[D] = round(1e3 * measure_ba_iter(
+            args.cams, p, args.obs_per_pt, args.iters, dtype), 3)
+
+    ici = args.ici_gbps * 1e9
+    hop = args.hop_us * 1e-6
+    projected_ms, efficiency = {}, {}
+    t1 = measured_ms[1]
+    for D in sweep:
+        comm = 1e3 * comm_seconds_per_iter(args.cams, D, ici, hop)
+        tD = measured_ms[D] + comm
+        projected_ms[D] = round(tD, 3)
+        efficiency[D] = round(t1 / (D * tD), 3)
+
+    matching = measure_matching(1024, [8, 16, 32, 64])
+
+    print(json.dumps({
+        "metric": "projected_scaling_efficiency",
+        "value": efficiency[8],
+        "unit": "fraction at 8 chips",
+        "platform": platform,
+        "ba_problem": {"cams": args.cams, "pts": args.pts,
+                       "obs": args.pts * args.obs_per_pt},
+        "ba_measured_ms_per_iter_per_shard": measured_ms,
+        "ba_projected_ms_per_iter": projected_ms,
+        "ba_projected_efficiency": efficiency,
+        "comm_model": {"ici_gbps": args.ici_gbps, "hop_us": args.hop_us,
+                       "psum_payload_mb": round(
+                           4 * (args.cams ** 2 * 81 + args.cams * 99 + 5)
+                           / 1e6, 3)},
+        "matching_pairs_per_s_vs_batch": matching,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,10 +27,7 @@ from bundler_sfm_tpu.ops.rotations import rot_update
 CNP = 9
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("adjust_focal", "estimate_distortion", "max_iters"))
-def camera_refine(
+def _refine_core(
     cam0: jnp.ndarray,        # [9] (c, w=0, f, k1, k2)
     R0: jnp.ndarray,          # [3,3]
     points: jnp.ndarray,      # [N,3] fixed
@@ -44,7 +41,7 @@ def camera_refine(
     max_iters: int = 50,
     tau: float = 1e-3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (cam [9] with w folded, R [3,3], final cost)."""
+    """Traceable LM body; returns (cam [9] with w folded, R [3,3], cost)."""
     dtype = cam0.dtype
     pmask = jnp.ones((CNP,), dtype=dtype)
     if not adjust_focal:
@@ -118,6 +115,83 @@ def camera_refine(
     return cam.at[3:6].set(0.0), R, cost
 
 
+camera_refine = functools.partial(
+    jax.jit, static_argnames=("adjust_focal", "estimate_distortion",
+                              "max_iters"))(_refine_core)
+camera_refine.__doc__ = _refine_core.__doc__
+
+
 camera_refine_batch = jax.vmap(
     camera_refine,
     in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None, None))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("adjust_focal", "estimate_distortion", "max_iters",
+                     "trim_iters"))
+def camera_refine_trim(
+    cam0: jnp.ndarray,        # [9] (c, w=0, f, k1, k2)
+    R0: jnp.ndarray,          # [3,3]
+    points: jnp.ndarray,      # [N,3] fixed
+    projs: jnp.ndarray,       # [N,2]
+    mask0: jnp.ndarray,       # [N] bool — initial inlier set
+    adjust_focal: bool = True,
+    estimate_distortion: bool = False,
+    focal_constraint: float = 0.0,
+    focal_weight: float = 0.0,
+    distortion_weight: float = 1.0e2,
+    max_iters: int = 50,
+    tau: float = 1e-3,
+    num_stddev: float = 2.0,          # m_outlier_threshold
+    thr_min: float = 8.0,             # MIN/MAX_PROJ_ERROR_THRESHOLD
+    thr_max: float = 16.0,
+    trim_iters: int = 20,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused `RefineCameraParameters` (src/Bundle.cpp:2535-2694): repeat
+    {LM refine, drop observations with reprojection error above
+    clamp(1.2·num_stddev·p95, thr_min, thr_max)} until the inlier set is
+    stable — the whole refine-and-trim loop in ONE device program instead
+    of one dispatch per trim round.  Returns (cam, R, final inlier mask).
+    """
+    dtype = cam0.dtype
+    N = points.shape[0]
+
+    def refine(cam, R, mask, adj):
+        return _refine_core(cam, R, points, projs, mask, adj,
+                            estimate_distortion, focal_constraint,
+                            focal_weight, distortion_weight, max_iters, tau)
+
+    # First pass with focal fixed (src/Bundle.cpp:2562).
+    cam, R, _ = refine(cam0, R0, mask0, False)
+
+    def body(state):
+        cam, R, mask, it, done = state
+        cam, R, _ = refine(cam, R, mask, adjust_focal)
+        pred = jax.vmap(lambda X: project_one(cam, R, X))(points)
+        errs = jnp.linalg.norm(pred - projs, axis=1)
+        n = jnp.sum(mask)
+        # p95 over the masked subset: np.partition(errs, k95)[k95] with
+        # k95 = min(round(0.95 n), n-1), invalid lanes sorted to the end.
+        srt = jnp.sort(jnp.where(mask, errs, jnp.inf))
+        k95 = jnp.clip(jnp.round(0.95 * n).astype(jnp.int32), 0, n - 1)
+        med = srt[jnp.maximum(k95, 0)]
+        thr = jnp.clip(1.2 * num_stddev * med, thr_min, thr_max)
+        keep = mask & (errs < thr)
+        stable = jnp.all(keep == mask) | ~jnp.any(keep)
+        return cam, R, keep, it + 1, stable
+
+    def cond(state):
+        _, _, mask, it, done = state
+        return (it < trim_iters) & ~done & jnp.any(mask)
+
+    state = (cam, R, mask0, jnp.int32(0),
+             jnp.asarray(~jnp.any(mask0)))
+    cam, R, mask, _, _ = jax.lax.while_loop(cond, body, state)
+    return cam, R, mask
+
+
+camera_refine_trim_batch = jax.vmap(
+    camera_refine_trim,
+    in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, None, None, None, None,
+             None, None))

@@ -33,7 +33,8 @@ from bundler_sfm_tpu.io.plyfile import write_points_ply
 from bundler_sfm_tpu.io.bundlefile import write_bundle_file
 from bundler_sfm_tpu.ops.ba import CNP, build_problem, run_ba
 from bundler_sfm_tpu.ops.essential import pose_to_center
-from bundler_sfm_tpu.ops.lm import camera_refine
+from bundler_sfm_tpu.ops.lm import (camera_refine, camera_refine_trim,
+                                    camera_refine_trim_batch)
 from bundler_sfm_tpu.ops.projection import ray_directions
 from bundler_sfm_tpu.ops.resection import find_and_verify_camera
 from bundler_sfm_tpu.ops.triangulate import (
@@ -551,55 +552,24 @@ def refine_camera_iterative(scene: Scene, img: int, cam0: np.ndarray,
     {camera_refine, drop obs with error > clamp(2.4·p95, 8, 16)} until the
     inlier set stabilizes.  Returns (cam, R, inlier_indices)."""
     cfg = scene.config
-    idxs = np.arange(len(pts))
-    cur_pts, cur_projs = pts, projs
-    cam, R = cam0, R0
     pad = _bucket(len(pts), 64)
-
     dt = _dt(cfg)
 
-    def refine(cam, R, pts_a, projs_a, adjust_f):
-        n = len(pts_a)
-        P = np.zeros((pad, 3), dt); P[:n] = pts_a
-        X = np.zeros((pad, 2), dt); X[:n] = projs_a
-        m = np.zeros(pad, dtype=bool); m[:n] = True
-        fw = cfg.constrain_focal_weight if (cfg.constrain_focal and
-                                            scene.has_init_focal(img)) else 0.0
-        fc = scene.init_focal(img) if fw > 0 else 0.0
-        c, Rn, cost = camera_refine(
-            jnp.asarray(cam, dt), jnp.asarray(R, dt), jnp.asarray(P),
-            jnp.asarray(X),
-            jnp.asarray(m), adjust_f, cfg.estimate_distortion,
-            fc, fw, cfg.distortion_weight, 50, 1e-3)
-        return np.asarray(c), np.asarray(Rn)
-
-    # First pass with focal fixed (src/Bundle.cpp:2562).
-    cam, R = refine(cam, R, cur_pts, cur_projs, False)
-    for _ in range(20):
-        cam, R = refine(cam, R, cur_pts, cur_projs, adjust_focal)
-        # Host-side reprojection (w=0 after camera_refine): a per-point
-        # eager project_one loop here cost one device dispatch per point
-        # per trim iteration — thousands of round trips per registration.
-        pc = (cur_pts - cam[0:3]) @ R.T
-        uv = -pc[:, 0:2] / pc[:, 2:3]
-        rsq = np.sum(uv * uv, axis=1)
-        D = 1.0 + cam[7] * rsq + cam[8] * rsq * rsq
-        pred = cam[6] * D[:, None] * uv
-        errs = np.linalg.norm(pred - cur_projs, axis=1)
-        k95 = min(int(round(0.95 * len(errs))), len(errs) - 1)
-        med = np.partition(errs, k95)[k95]
-        thr = np.clip(1.2 * cfg.outlier_num_stddev * med,
-                      cfg.min_proj_error_threshold,
-                      cfg.max_proj_error_threshold)
-        keep = errs < thr
-        if keep.all():
-            break
-        idxs = idxs[keep]
-        cur_pts = cur_pts[keep]
-        cur_projs = cur_projs[keep]
-        if len(cur_pts) == 0:
-            break
-    return cam, R, idxs
+    n = len(pts)
+    P = np.zeros((pad, 3), dt); P[:n] = pts
+    X = np.zeros((pad, 2), dt); X[:n] = projs
+    m = np.zeros(pad, dtype=bool); m[:n] = True
+    fw = cfg.constrain_focal_weight if (cfg.constrain_focal and
+                                        scene.has_init_focal(img)) else 0.0
+    fc = scene.init_focal(img) if fw > 0 else 0.0
+    cam, R, mask = camera_refine_trim(
+        jnp.asarray(cam0, dt), jnp.asarray(R0, dt), jnp.asarray(P),
+        jnp.asarray(X), jnp.asarray(m), adjust_focal,
+        cfg.estimate_distortion, fc, fw, cfg.distortion_weight, 50, 1e-3,
+        cfg.outlier_num_stddev, cfg.min_proj_error_threshold,
+        cfg.max_proj_error_threshold)
+    idxs = np.nonzero(np.asarray(mask)[:n])[0]
+    return np.asarray(cam), np.asarray(R), idxs
 
 
 def _resect_batch(rkeys, X, x, nv, thr, weak_thr, num_rounds):
@@ -608,10 +578,6 @@ def _resect_batch(rkeys, X, x, nv, thr, weak_thr, num_rounds):
             k, Xi, xi, ni, thr, weak_thr, num_rounds=num_rounds)
     )(rkeys, X, x, nv)
 
-# camera_refine batched over images with per-image focal constraints.
-_refine_batch = jax.vmap(
-    camera_refine,
-    in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, None, None, None))
 
 
 def bundle_initialize_images(recon: Reconstruction, scene: Scene,
@@ -715,50 +681,20 @@ def bundle_initialize_images(recon: Reconstruction, scene: Scene,
     if not live:
         return []
 
-    def refine_all(cam, R, adjust_f):
-        with stage("refine_camera"):
-            c, Rn, _ = _refine_batch(
-                jnp.asarray(cam), jnp.asarray(R), jnp.asarray(Xp),
-                jnp.asarray(xp), jnp.asarray(masks), adjust_f,
-                cfg.estimate_distortion, jnp.asarray(fcs), jnp.asarray(fws),
-                cfg.distortion_weight, 50, 1e-3)
-            return np.asarray(c), np.asarray(Rn)
-
-    # First pass with focal fixed (src/Bundle.cpp:2562), then the
-    # refine-and-trim loop in lockstep across the batch (each image's trim
-    # rule identical to refine_camera_iterative).
+    # The whole batched refine-and-trim loop (first pass focal-fixed, then
+    # refine + p95 trim until stable — refine_camera_iterative's rule) runs
+    # as ONE fused device program (ops/lm.py camera_refine_trim).
     adjust_focal = not cfg.fixed_focal_length
-    cam, R = refine_all(cam0, R0, False)
-    done = np.zeros(Bp, bool)
-    done[[b for b in range(Bp) if b not in live]] = True
-    for _ in range(20):
-        cam, R = refine_all(cam, R, adjust_focal)
-        for b in live:
-            if done[b]:
-                continue
-            sel = np.nonzero(masks[b])[0]
-            if len(sel) == 0:
-                done[b] = True
-                continue
-            pts_b = Xp[b, sel]
-            pc = (pts_b - cam[b, 0:3]) @ R[b].T
-            uv = -pc[:, 0:2] / pc[:, 2:3]
-            rsq = np.sum(uv * uv, axis=1)
-            Dd = 1.0 + cam[b, 7] * rsq + cam[b, 8] * rsq * rsq
-            pred = cam[b, 6] * Dd[:, None] * uv
-            errs = np.linalg.norm(pred - xp[b, sel], axis=1)
-            k95 = min(int(round(0.95 * len(errs))), len(errs) - 1)
-            med = np.partition(errs, k95)[k95]
-            thr = np.clip(1.2 * cfg.outlier_num_stddev * med,
-                          cfg.min_proj_error_threshold,
-                          cfg.max_proj_error_threshold)
-            keep = errs < thr
-            if keep.all():
-                done[b] = True
-            else:
-                masks[b, sel[~keep]] = False
-        if done.all():
-            break
+    with stage("refine_camera"):
+        cam, R, masks_out = camera_refine_trim_batch(
+            jnp.asarray(cam0), jnp.asarray(R0), jnp.asarray(Xp),
+            jnp.asarray(xp), jnp.asarray(masks), adjust_focal,
+            cfg.estimate_distortion, jnp.asarray(fcs), jnp.asarray(fws),
+            cfg.distortion_weight, 50, 1e-3, cfg.outlier_num_stddev,
+            cfg.min_proj_error_threshold, cfg.max_proj_error_threshold)
+        cam = np.asarray(cam)
+        R = np.asarray(R)
+        masks = np.asarray(masks_out)
 
     registered = []
     from bundler_sfm_tpu.utils import counter

@@ -42,6 +42,7 @@ class Telemetry:
         out = {
             "stages_s": {k: round(v, 4) for k, v in
                          self.stage_seconds.items()},
+            "stage_calls": dict(self.stage_calls),
             "counters": dict(self.counters),
         }
         rates = {}
