@@ -97,6 +97,63 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--estimate_up_vector_szeliski", action="store_true")
     p.add_argument("--output_relposes", default=None)
     p.add_argument("--seed", type=int, default=0)
+
+    p.add_argument("--no_factor_essential", action="store_true",
+                   help="disable 5-point initialization "
+                        "(src/BundlerApp.cpp:~500 factor_essential=false)")
+    p.add_argument("--fix_necker", action="store_true")
+    p.add_argument("--distortion_weight", type=float, default=1.0e2)
+    p.add_argument("--use_constraints", action="store_true")
+    p.add_argument("--point_constraint_file", default=None)
+    p.add_argument("--point_constraint_weight", type=float, default=0.0)
+    p.add_argument("--use_angular_score", action="store_true")
+    p.add_argument("--fisheye", default=None, metavar="PARAM_FILE",
+                   help="fisheye parameter file (FisheyeCenter/Radius/"
+                        "Angle/Focal lines, src/BundlerApp.cpp:60-110)")
+    p.add_argument("--optimize_for_fisheye", action="store_true")
+    p.add_argument("--match_index_dir", default=None,
+                   help="directory of per-pair match index files "
+                        "(LoadMatchIndexes, src/BundleIO.cpp:168)")
+    p.add_argument("--sift_binary", default=None,
+                   help="external SIFT for missing .key files (the built-in "
+                        "JAX SIFT is used when absent)")
+    # Bundle-surgery ops on --bundle (src/BundlerApp.cpp:876-1026).
+    p.add_argument("--rotate_cameras", default=None, metavar="FILE",
+                   help="per-image `name degrees` in-plane rolls "
+                        "(RotateCameras, src/ProcessBundle.cpp:30)")
+    p.add_argument("--scale_focal_file", default=None, metavar="FILE",
+                   help="per-image `name scale` focal scaling "
+                        "(src/ProcessBundle.cpp:144)")
+    p.add_argument("--write_tracks", default=None, metavar="FILE",
+                   help="rebuild tracks from points and write them "
+                        "(CreateTracksFromPoints + WriteTracks)")
+    p.add_argument("--compute_covariance", action="store_true",
+                   help="write covariance.txt with per-camera position "
+                        "covariance (ComputeCameraCovariance)")
+    p.add_argument("--up_image", type=int, default=-1,
+                   help="reference image whose y-axis defines 'up' for "
+                        "scene repositioning (src/BaseGeometry.cpp:569)")
+    # Options the reference parses but whose code paths are compiled out or
+    # dead upstream — accepted for drop-in CLI compatibility.
+    for flag in ("analyze_matches", "assemble", "enrich_points",
+                 "detect_duplicates", "classify_photos", "compare_histograms",
+                 "compute_color_statistics", "day_photos", "night_photos",
+                 "cloudy_photos", "bundle_from_points", "bundle_from_tracks",
+                 "projective_cameras", "projective_points", "use_fit_plane"):
+        p.add_argument(f"--{flag}", action="store_true",
+                       help="accepted for reference CLI parity "
+                            "(inert in the reference; see SURVEY.md §2.1)")
+    for flag, typ, dflt in (("min_camera_distance_ratio", float, 0.0),
+                            ("baseline_threshold", float, -1.0),
+                            ("covariance_fix1", int, -1),
+                            ("covariance_fix2", int, -1),
+                            ("min_feature_matches", int, 16),
+                            ("image_rescale", float, 1.0),
+                            ("morph_steps", int, 0),
+                            ("stretch_factor", float, 1.0)):
+        p.add_argument(f"--{flag}", type=typ, default=dflt,
+                       help="accepted for reference CLI parity "
+                            "(inert in the reference; see SURVEY.md §2.1)")
     return p
 
 
@@ -164,6 +221,16 @@ def scene_from_args(args) -> "Scene":
         initial_pair=(args.init_pair1, args.init_pair2),
         panorama_mode=args.panorama_mode,
         use_ceres=args.use_ceres,
+        factor_essential=not args.no_factor_essential,
+        fix_necker=args.fix_necker,
+        distortion_weight=args.distortion_weight,
+        use_constraints=args.use_constraints,
+        use_point_constraints=args.point_constraint_file is not None,
+        point_constraint_file=args.point_constraint_file,
+        point_constraint_weight=args.point_constraint_weight,
+        use_angular_score=args.use_angular_score,
+        fisheye=args.fisheye is not None,
+        optimize_for_fisheye=args.optimize_for_fisheye,
         construct_max_connectivity=args.construct_max_connectivity,
         estimate_ignored=args.estimate_ignored,
         skip_full_bundle=args.skip_full_bundle,
@@ -192,6 +259,10 @@ def scene_from_args(args) -> "Scene":
                 e.init_focal = rec.focal
         cfg.use_focal_estimate = True
         cfg.trust_focal_estimate = True
+    fisheye_params = None
+    if args.fisheye:
+        from bundler_sfm_tpu.ops.fisheye import read_fisheye_file
+        fisheye_params = read_fisheye_file(args.fisheye)
     dims: List[tuple] = []
     key_xy: List[np.ndarray] = []
     key_color: List[Optional[np.ndarray]] = []
@@ -200,7 +271,8 @@ def scene_from_args(args) -> "Scene":
         try:
             info, _ = read_key_file(e.key_name(args.key_dir))
         except FileNotFoundError:
-            pass
+            if args.sift_binary:
+                info = _extract_keys_external(e, args)
         w, h = _image_dims(e.name)
         dims.append((w, h))
         if info is None:
@@ -208,7 +280,14 @@ def scene_from_args(args) -> "Scene":
             key_color.append(None)
             continue
         cent = keys_to_centered(info, w, h)
-        key_xy.append(cent[:, 0:2].astype(np.float64))
+        xy = cent[:, 0:2].astype(np.float64)
+        if fisheye_params is not None and e.fisheye:
+            # Rectify fisheye keypoints once at load (UndistortPoint applied
+            # to match geometry, src/ImageData.cpp:1171-1192).
+            from bundler_sfm_tpu.ops.fisheye import undistort_points
+            xy = np.asarray(undistort_points(xy, fisheye_params),
+                            dtype=np.float64)
+        key_xy.append(xy)
         key_color.append(_key_colors(e.name, info))
 
     scene = Scene(config=cfg, entries=entries, dims=dims, key_xy=key_xy,
@@ -219,9 +298,43 @@ def scene_from_args(args) -> "Scene":
                 line = line.strip()
                 if line:
                     scene.ignore_in_bundle[int(line)] = True
+    # Match-source dispatch (LoadMatches, src/BundleIO.cpp:235-288):
+    # match_table > match_index_dir > per-pair match-###-###.txt files.
     if args.match_table:
         scene.matches = read_match_file(args.match_table)
+    elif args.match_index_dir:
+        from bundler_sfm_tpu.io.matchfile import read_match_indexes
+        scene.matches = read_match_indexes(args.match_index_dir,
+                                           len(entries))
+    elif args.match_dir and args.match_dir != ".":
+        from bundler_sfm_tpu.io.matchfile import read_pair_match_files
+        pair_matches = read_pair_match_files(args.match_dir, len(entries))
+        if pair_matches:
+            scene.matches = pair_matches
     return scene
+
+
+def _extract_keys_external(entry, args):
+    """Shell out to an external SIFT binary for a missing .key file
+    (`ImageData::ExtractFeatures` via m_sift_binary, `src/Bundle.cpp:3698`;
+    `bin/ToSift.sh:30-35`: pgm on stdin, Lowe-format keys on stdout)."""
+    import subprocess
+    import tempfile
+    from bundler_sfm_tpu.io.keyfile import read_key_file
+    try:
+        from PIL import Image
+        key_path = entry.key_name(args.key_dir)
+        with tempfile.NamedTemporaryFile(suffix=".pgm") as pgm:
+            with Image.open(entry.name) as img:
+                img.convert("L").save(pgm.name)
+            with open(pgm.name, "rb") as fin, open(key_path, "w") as fout:
+                subprocess.run([args.sift_binary], stdin=fin, stdout=fout,
+                               check=True, timeout=600)
+        info, _ = read_key_file(key_path)
+        return info
+    except Exception as exc:   # missing binary/image: match the reference's
+        print(f"[bundler] external SIFT failed for {entry.name}: {exc}")
+        return None            # skip-image behavior rather than aborting
 
 
 def _image_dims(path):
@@ -266,10 +379,38 @@ def _bundle_surgery(args, scene) -> int:
     if args.prune_bad_points:
         bundle = ops.prune_bad_points(bundle)
         write_bundle_file(os.path.join(out_dir, "bundle.pruned.out"), bundle)
+    if args.scale_focal_file:
+        scales = ops.read_per_image_values(args.scale_focal_file,
+                                           len(bundle.cameras))
+        bundle = ops.scale_focal_lengths(bundle, scales)
+        write_bundle_file(os.path.join(out_dir, "bundle.scale.out"), bundle)
+    if args.rotate_cameras:
+        degs = ops.read_per_image_values(args.rotate_cameras,
+                                         len(bundle.cameras))
+        bundle = ops.rotate_cameras_roll(bundle, degs)
     if args.reposition_scene:
         bundle = ops.reposition_scene(bundle)
     if args.estimate_up_vector_szeliski:
+        from bundler_sfm_tpu.export.scene_geometry import estimate_axes
+        if args.up_image >= 0:
+            estimate_axes(bundle, up_image=args.up_image)
         bundle = ops.transform_scene_canonical(bundle)
+    if args.write_tracks:
+        from bundler_sfm_tpu.pipeline.tracks import (tracks_from_points,
+                                                     write_track_file)
+        views = [[(int(v[0]), int(v[1])) for v in np.atleast_2d(p.views)]
+                 for p in bundle.points]
+        tracks, _, _, _ = tracks_from_points(views, len(bundle.cameras))
+        write_track_file(args.write_tracks, len(bundle.cameras), tracks)
+        print(f"[bundler] wrote {len(tracks)} tracks to {args.write_tracks}")
+    if args.compute_covariance:
+        from bundler_sfm_tpu.pipeline.two_frame import (scene_covariance,
+                                                        write_covariance_file)
+        regs, _, blocks = scene_covariance(
+            bundle, estimate_distortion=args.estimate_distortion)
+        write_covariance_file(os.path.join(out_dir, "covariance.txt"),
+                              regs, blocks)
+        print(f"[bundler] wrote covariance.txt ({len(regs)} cameras)")
     if args.compress_list:
         comp, names = ops.compress(bundle, [e.name for e in scene.entries])
         write_bundle_file(os.path.join(out_dir, "bundle.compressed.out"),
@@ -292,7 +433,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     surgery = (args.scale_focal != 1.0 or args.zero_distortion_params or
                args.prune_bad_points or args.compress_list or
                args.reposition_scene or args.estimate_up_vector_szeliski or
-               args.output_relposes)
+               args.output_relposes or args.scale_focal_file or
+               args.rotate_cameras or args.write_tracks or
+               args.compute_covariance)
     if args.bundle and surgery and not (args.run_bundle or
                                         args.rerun_bundle):
         return _bundle_surgery(args, scene)
@@ -337,7 +480,23 @@ def main(argv: Optional[List[str]] = None) -> int:
                         e.name not in allowed:
                     scene.ignore_in_bundle[i] = True
         if args.rerun_bundle:
-            run_sfm(recon, scene)
+            pt_con = None
+            if args.point_constraint_file:
+                # `x0 y0 z0 x y z` lines anchoring the point nearest
+                # (x0,y0,z0) to (x,y,z) (ReadPointConstraints,
+                # src/BundleIO.cpp:1241-1290).
+                pos = np.stack([p if p is not None else np.zeros(3)
+                                for p in recon.points])
+                pt_con = {}
+                with open(args.point_constraint_file) as f:
+                    for line in f:
+                        v = [float(t) for t in line.split()]
+                        if len(v) != 6:
+                            continue
+                        d = ((pos - np.array(v[:3])) ** 2).sum(axis=1)
+                        pt_con[int(np.argmin(d))] = np.array(v[3:])
+            run_sfm(recon, scene, pt_constraints=pt_con,
+                    pt_weight=args.point_constraint_weight)
         recon = continue_reconstruction(scene, recon,
                                         out_dir=args.output_dir,
                                         seed=args.seed)

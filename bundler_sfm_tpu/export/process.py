@@ -42,6 +42,36 @@ def rotate_cameras(bundle: BundleFile, R_global: np.ndarray) -> BundleFile:
     return BundleFile(cameras=cams, points=pts)
 
 
+def rotate_cameras_roll(bundle: BundleFile,
+                        degrees: Sequence[float]) -> BundleFile:
+    """Per-camera in-plane roll (`RotateCameras(char*)`,
+    `src/ProcessBundle.cpp:30-62`): R' = Rz(θᵢ)·Rᵢ, t' = Rz(θᵢ)·tᵢ —
+    camera centers are invariant, only the image orientation turns."""
+    cams = []
+    for cam, deg in zip(bundle.cameras, degrees):
+        if cam.registered and deg != 0.0:
+            rad = np.deg2rad(deg)
+            Rz = np.array([[np.cos(rad), -np.sin(rad), 0.0],
+                           [np.sin(rad), np.cos(rad), 0.0],
+                           [0.0, 0.0, 1.0]])
+            cams.append(BundleCamera(f=cam.f, k1=cam.k1, k2=cam.k2,
+                                     R=Rz @ cam.R, t=Rz @ cam.t))
+        else:
+            cams.append(cam)
+    return BundleFile(cameras=cams, points=bundle.points)
+
+
+def read_per_image_values(path: str, num_images: int) -> np.ndarray:
+    """Read a `name value` per-line file (the format of --rotate_cameras
+    and --scale_focal_file inputs, `src/ProcessBundle.cpp:40-43,154-157`)."""
+    vals = np.zeros(num_images)
+    with open(path) as f:
+        lines = [ln.split() for ln in f if ln.strip()]
+    for i, toks in enumerate(lines[:num_images]):
+        vals[i] = float(toks[1]) if len(toks) > 1 else float(toks[0])
+    return vals
+
+
 def zero_distortion_params(bundle: BundleFile) -> BundleFile:
     """`ZeroDistortionParams` (`src/ProcessBundle.cpp:551`)."""
     cams = [BundleCamera(f=c.f, k1=0.0, k2=0.0, R=c.R, t=c.t)

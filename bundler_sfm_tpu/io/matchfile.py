@@ -88,3 +88,48 @@ def read_match_table(num_images: int, suffix: str = "",
                     flat = np.array(next(lines).split(), dtype=np.int32)
                     matches[(i, j)] = flat.reshape(-1, 2)
     return matches
+
+
+def read_pair_match_files(match_dir: str, num_images: int,
+                          min_matches: int = 16) -> MatchDict:
+    """Per-pair `match-%03d-%03d.txt` files (`ReadMatchFile`,
+    `src/BundleIO.cpp:62-110`): first line num_matches, then index pairs.
+    Pairs with fewer than MIN_MATCHES (16) are skipped like the reference."""
+    import os
+    matches: MatchDict = {}
+    for i in range(num_images):
+        for j in range(i + 1, num_images):
+            path = os.path.join(match_dir, f"match-{i:03d}-{j:03d}.txt")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                toks = f.read().split()
+            m = int(toks[0])
+            if m < min_matches:
+                continue
+            matches[(i, j)] = np.array(toks[1:1 + 2 * m],
+                                       dtype=np.int32).reshape(m, 2)
+    return matches
+
+
+def read_match_indexes(index_dir: str, num_images: int) -> MatchDict:
+    """Per-image `match-%03d.txt` index files (`LoadMatchIndexes`,
+    `src/BundleIO.cpp:168-234`): repeated blocks of
+    `j`, `num_matches`, then num_matches `k1 k2` lines."""
+    import os
+    matches: MatchDict = {}
+    for i in range(num_images):
+        path = os.path.join(index_dir, f"match-{i:03d}.txt")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            toks = f.read().split()
+        pos = 0
+        while pos + 1 < len(toks):
+            j = int(toks[pos]); m = int(toks[pos + 1]); pos += 2
+            flat = np.array(toks[pos:pos + 2 * m], dtype=np.int32)
+            pos += 2 * m
+            key = (i, j) if i < j else (j, i)
+            pairs = flat.reshape(m, 2)
+            matches[key] = pairs if i < j else pairs[:, ::-1]
+    return matches

@@ -287,9 +287,12 @@ def _gather_problem(recon: Reconstruction, scene: Scene,
 
 def run_sfm(recon: Reconstruction, scene: Scene,
             remove_outliers: bool = True, fix_points: bool = False,
-            verbose: bool = True) -> float:
+            verbose: bool = True,
+            pt_constraints: Optional[Dict[int, np.ndarray]] = None,
+            pt_weight: float = 0.0) -> float:
     """`RunSFM_SBA` with the >40-outlier re-bundle loop
-    (src/Bundle.cpp:568-919)."""
+    (src/Bundle.cpp:568-919).  `pt_constraints` maps recon point index ->
+    anchor position (--point_constraint_file, src/BundleIO.cpp:1241-1290)."""
     cfg = scene.config
     MIN_POINTS, MIN_OUTLIERS = cfg.sfm_min_points, cfg.sfm_min_outliers
     total_outliers = 0
@@ -324,6 +327,18 @@ def run_sfm(recon: Reconstruction, scene: Scene,
                 cw[s, 7:9] = (1e-4 * cfg.distortion_weight * num_vis[s]
                               if cfg.use_ceres else cfg.distortion_weight)
 
+        pc_arr = pc_con = None
+        pw = 0.0
+        if pt_constraints:
+            pc_arr = np.zeros(len(live))
+            pc_con = np.zeros((len(live), 3))
+            for k, p in enumerate(live):
+                anchor = pt_constraints.get(p)
+                if anchor is not None:
+                    pc_arr[k] = 1.0
+                    pc_con[k] = anchor
+            pw = pt_weight
+
         Cp = _round_up(C, 4)
         Pp = _bucket(len(live), 256)
         Op = _bucket(len(obs_cam), 1024)
@@ -333,6 +348,7 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             est_focal=not cfg.fixed_focal_length,
             est_distortion=cfg.estimate_distortion,
             cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
+            pt_constrained=pc_arr, pt_constraints=pc_con, pt_weight=pw,
             pad_cams=Cp, pad_pts=Pp, pad_obs=Op, max_views=Mp,
             dtype=_dt(cfg))
         from bundler_sfm_tpu.utils import get_telemetry, stage

@@ -149,3 +149,27 @@ def matches_from_points(
                 lists.setdefault((v1, v2), []).append((k1, k2))
     return {ij: np.array(m, dtype=np.int32).reshape(-1, 2)
             for ij, m in lists.items()}
+
+
+def write_track_file(path: str, num_images: int,
+                     tracks: Sequence[Sequence[Tuple[int, int]]]) -> None:
+    """`WriteTracks` (`src/BaseGeometry.cpp:364-393`): header
+    `num_images num_tracks`, then per track `num_views img key img key ...`."""
+    with open(path, "w") as f:
+        f.write(f"{num_images} {len(tracks)}\n")
+        for views in tracks:
+            f.write(f"{len(views)} ")
+            f.write(" ".join(f"{int(i)} {int(k)}" for i, k in views))
+            f.write(" \n")
+
+
+def read_track_file(path: str) -> Tuple[int, List[Track]]:
+    with open(path) as f:
+        n_img, n_tracks = map(int, f.readline().split())
+        tracks: List[Track] = []
+        for _ in range(n_tracks):
+            toks = f.readline().split()
+            nv = int(toks[0])
+            tracks.append([(int(toks[1 + 2 * i]), int(toks[2 + 2 * i]))
+                           for i in range(nv)])
+    return n_img, tracks

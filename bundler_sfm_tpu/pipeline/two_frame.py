@@ -301,3 +301,51 @@ def write_relative_poses(path: str, models: ModelTable) -> None:
             f.write(f"{i} {j} {m.num_points} {m.angle:0.6f} {m.error:0.6f}\n")
             f.write(" ".join(f"{v:0.9e}" for v in R_rel.reshape(-1)) + "\n")
             f.write(" ".join(f"{v:0.9e}" for v in t_rel) + "\n")
+
+
+def scene_covariance(bundle, estimate_distortion: bool = True,
+                     point_weight: float = 1000.0):
+    """App-level `--compute_covariance` (`BundlerApp::ComputeCameraCovariance`,
+    `src/BundleTwo.cpp:1748-2024`): anchor every point at its converged
+    position (weight 1000, `:1758`), form the reduced camera Schur system,
+    and return (registered_image_ids, full inv(S), per-camera 3x3
+    translation-covariance blocks) — the blocks + their traces are what the
+    reference writes to covariance.txt (`:1996-2016`)."""
+    regs = [i for i, c in enumerate(bundle.cameras) if c.registered]
+    slot = {img: s for s, img in enumerate(regs)}
+    R0 = np.stack([bundle.cameras[i].R for i in regs])
+    cam0 = np.zeros((len(regs), 9))
+    for s, i in enumerate(regs):
+        c = bundle.cameras[i]
+        cam0[s, 0:3] = c.center
+        cam0[s, 6] = c.f
+        cam0[s, 7] = c.k1
+        cam0[s, 8] = c.k2
+    obs_cam, obs_pt, obs_xy = [], [], []
+    pts = np.stack([p.pos for p in bundle.points])
+    for pi, p in enumerate(bundle.points):
+        for (ci, _ki, x, y) in np.atleast_2d(p.views):
+            if int(ci) in slot:
+                obs_cam.append(slot[int(ci)])
+                obs_pt.append(pi)
+                obs_xy.append((x, y))
+    prob = build_problem(R0, cam0, pts,
+                         np.array(obs_cam, np.int32),
+                         np.array(obs_pt, np.int32),
+                         np.array(obs_xy, np.float64),
+                         est_focal=True, est_distortion=estimate_distortion)
+    cov = camera_covariance(prob, prob.cam0, prob.pts0,
+                            pt_constraint_weight=point_weight)
+    blocks = [cov[s * CNP:s * CNP + 3, s * CNP:s * CNP + 3] for s in
+              range(len(regs))]
+    return regs, cov, blocks
+
+
+def write_covariance_file(path: str, regs, blocks) -> None:
+    """covariance.txt: per registered image `i`, its 3x3 translation
+    covariance (row-major) and trace (`src/BundleTwo.cpp:1996-2016`)."""
+    with open(path, "w") as f:
+        for i, C in zip(regs, blocks):
+            f.write(f"{i}\n")
+            f.write(" ".join(f"{v:0.6f}" for v in np.asarray(C).ravel()))
+            f.write(f"\n{float(np.trace(C)):0.6f}\n")
