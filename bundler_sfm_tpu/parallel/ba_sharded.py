@@ -91,12 +91,77 @@ def _spec_for(name):
     return P(AXIS) if name in _SHARDED_FIELDS else P()
 
 
+def _schur_matvec_local(x, U_aug, Y, W, local):
+    """Matrix-free (S·x) from shard-local blocks: the off-diagonal
+    point-coupled term never materializes S.  Per shard:
+      t_o = W_oᵀ x[cam(o)];  s_i = Σ_{o∈views(i)} t_o;
+      c_j = Σ_{o:cam=j} Y_o s_{pt(o)};  S·x = U_aug·x − psum(c).
+    Communication is one [C,9] psum per product — C·36 bytes instead of the
+    C²·81·4-byte S_off reduction, and no replicated dense factorization."""
+    t = jnp.einsum("oab,oa->ob", W, x[local.obs_cam])
+    s = _ba._point_sum(t, local)
+    u = jnp.einsum("oab,ob->oa", Y, s[local.obs_pt])
+    c = jax.lax.psum(_ba._segsum_onehot(u, local.obs_cam, x.shape[0]), AXIS)
+    return jnp.einsum("jab,jb->ja", U_aug, x) - c
+
+
+def _solve_schur_cg_sharded(U_aug, Y, W, rhs, local, max_iters: int,
+                            tol: float = 1e-8):
+    """Distributed SCHUR_JACOBI-preconditioned CG on the reduced camera
+    system (the >200-camera ITERATIVE_SCHUR configuration,
+    src/BundleCeres.cpp:132-134,369-379, distributed): the preconditioner
+    uses the true S diagonal blocks D_j = U_aug_j − Σ_i Y_ij W_ijᵀ (psum'd
+    once), the iteration uses the matrix-free psum matvec."""
+    C = U_aug.shape[0]
+    ywt = jnp.einsum("oab,ocb->oac", Y, W)                   # [O,9,9]
+    D = U_aug - jax.lax.psum(
+        _ba._segsum_onehot(ywt, local.obs_cam, C), AXIS)
+    Minv = jnp.linalg.inv(D + 1e-12 * jnp.eye(CNP, dtype=D.dtype))
+
+    def matvec(x):
+        return _schur_matvec_local(x, U_aug, Y, W, local)
+
+    def precond(r):
+        return jnp.einsum("jab,jb->ja", Minv, r)
+
+    b2 = jnp.sum(rhs * rhs)
+    x0 = jnp.zeros_like(rhs)
+    z0 = precond(rhs)
+    state = (x0, rhs, z0, z0, jnp.sum(rhs * z0), jnp.int32(0))
+
+    def cond(st):
+        x, r, z, p, rz, it = st
+        return (it < max_iters) & (jnp.sum(r * r) > tol * tol * b2)
+
+    def body(st):
+        x, r, z, p, rz, it = st
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-300)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        p = z + (rz_new / jnp.maximum(rz, 1e-300)) * p
+        return x, r, z, p, rz_new, it + 1
+
+    x, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return x
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "max_iters", "fix_points"))
+                   static_argnames=("mesh", "max_iters", "fix_points",
+                                    "solver", "cg_iters"))
 def run_ba_sharded(prob: BAProblem, mesh: Mesh, max_iters: int = 100,
                    fix_points: bool = False, tau: float = 1e-3,
-                   eps1: float = 1e-10, eps2: float = 1e-12) -> BAResult:
-    """LM with point-sharded Schur assembly.  `prob` from shard_problem."""
+                   eps1: float = 1e-10, eps2: float = 1e-12,
+                   solver: str = "cholesky",
+                   cg_iters: int = 100) -> BAResult:
+    """LM with point-sharded Schur assembly.  `prob` from shard_problem.
+
+    solver="cholesky" psums the dense S_off and factorizes it replicated
+    (right for ≤ a few hundred cameras); solver="cg" never materializes
+    S_off — matrix-free distributed PCG whose per-product communication is
+    one [C,9] psum, the at-scale configuration (thousands of cameras)."""
     in_specs = BAProblem(**{f: _spec_for(f) for f in BAProblem._fields})
     out_specs = BAResult(cam=P(), R=P(), pts=P(AXIS), cost=P(),
                          initial_cost=P(), iters=P(), mu=P())
@@ -130,13 +195,21 @@ def run_ba_sharded(prob: BAProblem, mesh: Mesh, max_iters: int = 100,
             Vo = Vinv[local.obs_pt]
             Y = (W[:, :, :, None] * Vo[:, None, :, :]).sum(2)
             C = U_aug.shape[0]
-            S_off, rhs_off = assemble_schur_off(Y, W, g_p, local, C)
-            # The point-coupled parts sum across shards; U_aug/g_c are
-            # already global (psum'd in blocks()).
-            S_off = jax.lax.psum(S_off, AXIS)
-            rhs = g_c + jax.lax.psum(rhs_off, AXIS)
-            S = S_off.at[jnp.arange(C), jnp.arange(C)].add(U_aug)
-            dcam = solve_schur(S, rhs) * local.cam_mask
+            if solver == "cg":
+                # rhs_off = −Σ_obs Y_o g_p[pt(o)] per camera, psum'd.
+                contrib = jnp.sum(Y * g_p[local.obs_pt][:, None, :], axis=2)
+                rhs = g_c - jax.lax.psum(
+                    _ba._segsum_onehot(contrib, local.obs_cam, C), AXIS)
+                dcam = _solve_schur_cg_sharded(U_aug, Y, W, rhs, local,
+                                               cg_iters) * local.cam_mask
+            else:
+                S_off, rhs_off = assemble_schur_off(Y, W, g_p, local, C)
+                # The point-coupled parts sum across shards; U_aug/g_c are
+                # already global (psum'd in blocks()).
+                S_off = jax.lax.psum(S_off, AXIS)
+                rhs = g_c + jax.lax.psum(rhs_off, AXIS)
+                S = S_off.at[jnp.arange(C), jnp.arange(C)].add(U_aug)
+                dcam = solve_schur(S, rhs) * local.cam_mask
             if fix_points:
                 dpts = jnp.zeros_like(pts)
             else:

@@ -104,3 +104,17 @@ def test_sharded_ba_with_constraints(rng):
     # The 1/D weight scaling reconstructs the constraint exactly: same focal.
     assert np.allclose(np.asarray(resN.cam)[:3, 6],
                        np.asarray(res1.cam)[:3, 6], atol=1e-6)
+
+
+def test_sharded_ba_cg_matches_cholesky(rng):
+    """Matrix-free distributed PCG (solver='cg': [C,9]-psum matvec, true
+    SCHUR_JACOBI diag) reaches the replicated dense Cholesky solution."""
+    mesh = make_mesh()
+    sc, R0, cam0, pts0, oc, op, oxy = _make_ba_inputs(rng)
+    probN = shard_problem(R0, cam0, pts0, oc, op, oxy, num_shards=8,
+                          est_focal=True, est_distortion=False)
+    r_chol = run_ba_sharded(probN, mesh, max_iters=40)
+    r_cg = run_ba_sharded(probN, mesh, max_iters=40, solver="cg")
+    assert float(r_cg.cost) < 1e-6
+    assert np.allclose(np.asarray(r_cg.cam)[:4], np.asarray(r_chol.cam)[:4],
+                       atol=1e-5)
