@@ -269,20 +269,34 @@ def setup_initial_pair(scene: Scene, i_best: int, j_best: int,
 def _gather_problem(recon: Reconstruction, scene: Scene,
                     cfg: BundlerConfig):
     """vmask/projections marshaling (src/Bundle.cpp:597-637): only points
-    with live views enter BA; remap maps recon idx -> BA idx."""
+    with live views enter BA; remap maps recon idx -> BA idx.
+
+    Vectorized: at 64+ images a Python per-observation loop costs seconds
+    PER outer BA round on the host (measured 3.2s at 240k obs) — flatten
+    through fromiter + grouped per-image fancy indexing instead."""
+    import itertools
     C = recon.num_cameras
-    live = [i for i, v in enumerate(recon.pt_views) if len(v) > 0]
-    remap = {p: k for k, p in enumerate(live)}
-    obs_cam, obs_pt, obs_xy = [], [], []
-    for p in live:
-        for (slot, key) in recon.pt_views[p]:
-            img = recon.added_order[slot]
-            obs_cam.append(slot)
-            obs_pt.append(remap[p])
-            obs_xy.append(scene.key_xy[img][key])
-    return live, remap, (np.array(obs_cam, np.int32),
-                         np.array(obs_pt, np.int32),
-                         np.array(obs_xy, _dt(cfg)))
+    counts = np.fromiter(map(len, recon.pt_views), dtype=np.int64,
+                         count=len(recon.pt_views))
+    live_mask = counts > 0
+    live = np.nonzero(live_mask)[0]
+    remap = {int(p): k for k, p in enumerate(live)}
+    total = int(counts[live].sum())
+    flat = np.fromiter(
+        itertools.chain.from_iterable(
+            itertools.chain.from_iterable(recon.pt_views[p] for p in live)),
+        dtype=np.int64, count=2 * total).reshape(-1, 2)
+    obs_cam = flat[:, 0].astype(np.int32)
+    keys = flat[:, 1]
+    obs_pt = np.repeat(np.arange(len(live), dtype=np.int32),
+                       counts[live]).astype(np.int32)
+    # Per-image grouped gather of the observed key coordinates.
+    img_of_obs = np.asarray(recon.added_order, dtype=np.int64)[obs_cam]
+    obs_xy = np.empty((total, 2), dtype=_dt(cfg))
+    for img in np.unique(img_of_obs):
+        sel = img_of_obs == img
+        obs_xy[sel] = scene.key_xy[img][keys[sel]]
+    return [int(p) for p in live], remap, (obs_cam, obs_pt, obs_xy)
 
 
 def run_sfm(recon: Reconstruction, scene: Scene,
