@@ -859,21 +859,41 @@ def add_all_new_points(recon: Reconstruction, scene: Scene) -> int:
     T = len(tracks)
     M = _round_up(max(len(v) for _, v in tracks), 4)
     dt = _dt(cfg)
+    # Vectorized fill (a per-(track, view) Python loop here costs ~1s/round
+    # at 64-image scale): flatten all views, fancy-index camera state.
+    import itertools
+    counts = np.fromiter((len(v) for _, v in tracks), dtype=np.int64,
+                         count=T)
+    total = int(counts.sum())
+    flat = np.fromiter(
+        itertools.chain.from_iterable(
+            itertools.chain.from_iterable(v for _, v in tracks)),
+        dtype=np.int64, count=2 * total).reshape(-1, 2)
+    slots, keys = flat[:, 0], flat[:, 1]
+    ti_f = np.repeat(np.arange(T), counts)
+    vi_f = np.arange(total) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    cam_arr = np.stack(recon.cam_params).astype(dt)     # [C,9]
+    R_arr = np.stack(recon.cam_R).astype(dt)            # [C,3,3]
+    added = np.asarray(recon.added_order, dtype=np.int64)
+
     xy = np.zeros((T, M, 2), dt)
     fs = np.ones((T, M), dt)
     ks = np.zeros((T, M, 2), dt)
     Rs = np.broadcast_to(np.eye(3, dtype=dt), (T, M, 3, 3)).copy()
     cs = np.zeros((T, M, 3), dt)
     mask = np.zeros((T, M), dtype=bool)
-    for ti, (tr, views) in enumerate(tracks):
-        for vi, (slot, key) in enumerate(views):
-            img = recon.added_order[slot]
-            xy[ti, vi] = scene.key_xy[img][key]
-            fs[ti, vi] = recon.cam_params[slot][6]
-            ks[ti, vi] = recon.cam_params[slot][7:9]
-            Rs[ti, vi] = recon.cam_R[slot]
-            cs[ti, vi] = recon.cam_params[slot][0:3]
-            mask[ti, vi] = True
+    img_f = added[slots]
+    xy_f = np.empty((total, 2), dt)
+    for img in np.unique(img_f):
+        sel = img_f == img
+        xy_f[sel] = scene.key_xy[img][keys[sel]]
+    xy[ti_f, vi_f] = xy_f
+    fs[ti_f, vi_f] = cam_arr[slots, 6]
+    ks[ti_f, vi_f] = cam_arr[slots, 7:9]
+    Rs[ti_f, vi_f] = R_arr[slots]
+    cs[ti_f, vi_f] = cam_arr[slots, 0:3]
+    mask[ti_f, vi_f] = True
 
     # Ray-angle conditioning (src/BundleAdd.cpp:272-337): max pairwise
     # angle >= ray_angle_threshold.  Vectorized: ray = Rᵀ·(x/f, y/f, -1).
