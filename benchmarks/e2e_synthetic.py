@@ -210,6 +210,8 @@ def run_ours(workdir, infos, descs):
     compute_geometric_constraints(scene, seed=0)
     bundle_adjust_fast(scene, out_dir=out, seed=0)
     t_bundle = time.time() - t0
+    from bundler_sfm_tpu.utils import get_telemetry
+    get_telemetry().dump(os.path.join(workdir, "ours_telemetry.json"))
     return t_match, t_bundle, os.path.join(out, "bundle.out")
 
 
