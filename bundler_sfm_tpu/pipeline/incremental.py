@@ -965,36 +965,56 @@ def remove_bad_points(recon: Reconstruction, scene: Scene) -> int:
     whose max pairwise ray angle (point->camera-center rays) is below
     0.5·ray_angle_threshold."""
     cfg = scene.config
-    num_pruned = 0
-    for p in range(len(recon.points)):
-        views = recon.pt_views[p]
-        if len(views) == 0:
-            continue
-        pos = recon.points[p]
-        max_angle = 0.0
-        for a in range(len(views)):
-            ra = pos - recon.cam_params[views[a][0]][0:3]
-            na = np.linalg.norm(ra)
-            if na == 0:
-                continue
-            ra = ra / na
-            for b in range(a + 1, len(views)):
-                rb = pos - recon.cam_params[views[b][0]][0:3]
-                nb = np.linalg.norm(rb)
-                if nb == 0:
-                    continue
-                rb = rb / nb
-                ang = np.degrees(np.arccos(np.clip(ra @ rb, -1 + 1e-8,
-                                                   1 - 1e-8)))
-                max_angle = max(max_angle, ang)
-        if max_angle < 0.5 * cfg.ray_angle_threshold:
-            for (slot, key) in views:
-                recon.key_extra[recon.added_order[slot]][key] = -1
-            recon.pt_views[p] = []
-            recon.colors[p] = np.array([0.0, 0.0, 255.0])
-            num_pruned += 1
-    log(f"[RemoveBadPointsAndCameras] Pruned {num_pruned} points")
-    return num_pruned
+    import itertools
+    P = len(recon.points)
+    counts = np.fromiter(map(len, recon.pt_views), dtype=np.int64, count=P)
+    live = np.nonzero(counts > 0)[0]
+    if len(live) == 0:
+        log("[RemoveBadPointsAndCameras] Pruned 0 points")
+        return 0
+    # Vectorized max pairwise ray angle (the per-point O(V²) Python loop
+    # cost seconds per round at 40k+ points): padded [L, M, 3] ray tables.
+    M = int(counts[live].max())
+    total = int(counts[live].sum())
+    flat_slots = np.fromiter(
+        itertools.chain.from_iterable(
+            (v[0] for v in recon.pt_views[p]) for p in live),
+        dtype=np.int64, count=total)
+    li = np.repeat(np.arange(len(live)), counts[live])
+    vi = np.arange(total) - np.repeat(
+        np.cumsum(counts[live]) - counts[live], counts[live])
+    cam_c = np.stack(recon.cam_params)[:, 0:3]
+    pos = np.stack([recon.points[p] for p in live])
+    rays_f = pos[li] - cam_c[flat_slots]
+    n = np.linalg.norm(rays_f, axis=1, keepdims=True)
+    valid_f = n[:, 0] > 0
+    rays_f = np.divide(rays_f, n, out=np.zeros_like(rays_f), where=n > 0)
+    rays = np.zeros((len(live), M, 3))
+    vmask = np.zeros((len(live), M), bool)
+    rays[li, vi] = rays_f
+    vmask[li, vi] = valid_f
+    # Chunk the [chunk, M, M] pairwise tables to bound memory (M can reach
+    # the camera count for long tracks).
+    max_angle = np.zeros(len(live))
+    iu = np.triu_indices(M, 1)
+    step = max(1, int(4e7 // max(M * M, 1)))
+    for s in range(0, len(live), step):
+        r = rays[s:s + step]
+        vm = vmask[s:s + step]
+        dots = np.einsum("lmi,lni->lmn", r, r)
+        pair_ok = vm[:, :, None] & vm[:, None, :]
+        ang = np.degrees(np.arccos(np.clip(dots, -1 + 1e-8, 1 - 1e-8)))
+        ang = np.where(pair_ok, ang, 0.0)
+        if M > 1:
+            max_angle[s:s + step] = ang[:, iu[0], iu[1]].max(axis=1)
+    bad = live[max_angle < 0.5 * cfg.ray_angle_threshold]
+    for p in bad:
+        for (slot, key) in recon.pt_views[p]:
+            recon.key_extra[recon.added_order[slot]][key] = -1
+        recon.pt_views[p] = []
+        recon.colors[p] = np.array([0.0, 0.0, 255.0])
+    log(f"[RemoveBadPointsAndCameras] Pruned {len(bad)} points")
+    return len(bad)
 
 
 def estimate_ignored_cameras(recon: Reconstruction, scene: Scene,

@@ -85,8 +85,18 @@ def remove_border_matches(scene: Scene) -> None:
         scene.matches[(i, j)] = m[keep]
 
 
+def _auto_batch(num_pairs: int, batch) -> int:
+    """Pairs per dispatch.  Small collections stay on the small compiled
+    shape; big pair lists jump to 128/dispatch — at 2016 pairs the
+    16-pair batching cost 126 dispatches (~34s of RTT + per-call overhead
+    on a remote-TPU link) where 16 dispatches suffice."""
+    if batch is not None:
+        return batch
+    return 16 if num_pairs <= 64 else 128
+
+
 def compute_epipolar_geometry(scene: Scene, seed: int = 0,
-                              batch: int = 16) -> None:
+                              batch: int = None) -> None:
     """F-RANSAC every matched pair; filter match lists to inliers; drop pairs
     with < min_num_feat_matches inliers (`ComputeEpipolarGeometry`,
     `src/BundlerGeometry.cpp:330-439`; removeBadMatches=True on this path,
@@ -100,6 +110,7 @@ def compute_epipolar_geometry(scene: Scene, seed: int = 0,
     drop = [p for p in pairs if len(scene.matches[p]) < 20]
     pad_all = _round_up(max((len(scene.matches[p]) for p in todo),
                             default=8), 64)
+    batch = _auto_batch(len(todo), batch)
     base_key = jax.random.PRNGKey(seed)
     for start in range(0, len(todo), batch):
         chunk = todo[start:start + batch]
@@ -135,7 +146,8 @@ def compute_epipolar_geometry(scene: Scene, seed: int = 0,
         scene.transforms.pop((p[1], p[0]), None)
 
 
-def compute_transforms(scene: Scene, seed: int = 1, batch: int = 16) -> None:
+def compute_transforms(scene: Scene, seed: int = 1, batch: int = None
+                       ) -> None:
     """Homography per surviving pair; records inlier count/ratio for initial
     -pair scoring (`ComputeTransform`, `src/BundlerGeometry.cpp:197-263`;
     called with removeBadMatches=false, `:146`; MIN_INLIERS=10)."""
@@ -145,6 +157,7 @@ def compute_transforms(scene: Scene, seed: int = 1, batch: int = 16) -> None:
     if not todo:
         return
     pad_all = _round_up(max(len(scene.matches[p]) for p in todo), 64)
+    batch = _auto_batch(len(todo), batch)
     base_key = jax.random.PRNGKey(seed + 7777)
     for start in range(0, len(todo), batch):
         chunk = todo[start:start + batch]
