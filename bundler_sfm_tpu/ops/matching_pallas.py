@@ -43,8 +43,11 @@ def _two_nn_kernel(q_ref, db_ref, nd_ref, d0_ref, i0_ref, d1_ref):
         start = b * BD
         blk = db_ref[pl.ds(start, BD), :]              # [BD, 128]
         b_sq = jnp.sum(blk * blk, axis=1)              # [BD]
+        # bf16 operands are EXACT for uint8 descriptor values and run one
+        # MXU pass instead of f32's three; accumulation stays f32.
         dots = jax.lax.dot_general(
-            q, blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            q.astype(jnp.bfloat16), blk.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         d = q_sq + b_sq[None, :] - 2.0 * dots          # [TQ, BD]
         col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + start

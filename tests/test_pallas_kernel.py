@@ -7,6 +7,21 @@ from bundler_sfm_tpu.ops.matching import two_nn
 from bundler_sfm_tpu.ops.matching_pallas import two_nn_pallas
 
 
+def test_pallas_two_nn_vmaps(rng):
+    """The production table matcher vmaps over pairs — the kernel must batch."""
+    qs = rng.integers(0, 256, (3, 256, 128)).astype(np.float32)
+    dbs = rng.integers(0, 256, (3, 512, 128)).astype(np.float32)
+    cnts = np.array([400, 512, 257], np.int32)
+    f = jax.vmap(lambda a, b, c: two_nn_pallas(a, b, c, interpret=True))
+    d0v, i0v, d1v = f(jnp.asarray(qs), jnp.asarray(dbs), jnp.asarray(cnts))
+    for p in range(3):
+        d0x, i0x, d1x = two_nn(jnp.asarray(qs[p]), jnp.asarray(dbs[p]),
+                               jnp.int32(cnts[p]), block=512)
+        assert np.array_equal(np.asarray(i0v[p]), np.asarray(i0x))
+        assert np.allclose(np.asarray(d0v[p]), np.asarray(d0x))
+        assert np.allclose(np.asarray(d1v[p]), np.asarray(d1x))
+
+
 def test_pallas_two_nn_matches_xla(rng):
     """Interpret-mode check of the fused kernel against the XLA path."""
     q = rng.integers(0, 256, (512, 128)).astype(np.float32)
