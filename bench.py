@@ -46,8 +46,10 @@ def bench_tpu(descs, pairs):
     from bundler_sfm_tpu.ops.matching import DescriptorTable
 
     table = DescriptorTable(descs, block=KEYS_PER_IMAGE)
-    # Warmup / compile.
-    _ = table.match_pairs(pairs[:TPU_BATCH], batch=TPU_BATCH, min_matches=16)
+    # Warmup / compile — on REVERSED pair order so the timed run below is
+    # not an identical (executable, inputs) call: the axon client memoizes
+    # those and a memoized replay measures nothing.
+    _ = table.match_pairs(pairs[::-1], batch=TPU_BATCH, min_matches=16)
     t0 = time.perf_counter()
     out = table.match_pairs(pairs, batch=TPU_BATCH, min_matches=16)
     dt = time.perf_counter() - t0

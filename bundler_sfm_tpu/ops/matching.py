@@ -40,10 +40,21 @@ _PALLAS_DB_BYTES = 8 * 1024 * 1024
 
 def _pallas_eligible(nq: int, nd: int) -> bool:
     """Trace-time gate for the fused Pallas 2-NN (matching_pallas.py):
-    TPU backend, tile-aligned shapes, db small enough to live in VMEM."""
+    TPU backend, tile-aligned shapes, db small enough to live in VMEM.
+
+    Off by default on the axon remote-TPU tunnel: the Mosaic custom call
+    makes the program's compile-cache key nondeterministic across processes
+    (measured: identical script/shapes produced distinct cache entries), so
+    every process pays a ~90-475 s remote recompile+load.  On local TPU
+    hardware that is a one-time in-process compile, so the kernel is on by
+    default there; BUNDLER_PALLAS_MATCH=1 force-enables it on the tunnel
+    (e.g. for steady-state kernel benchmarks that warm up first)."""
     if os.environ.get("BUNDLER_NO_PALLAS_MATCH"):
         return False
     if jax.default_backend() == "cpu":
+        return False
+    if ("axon" in (jax.config.jax_platforms or "")
+            and not os.environ.get("BUNDLER_PALLAS_MATCH")):
         return False
     from .matching_pallas import BD, TQ
     return nq % TQ == 0 and nd % BD == 0 and nd * 512 <= _PALLAS_DB_BYTES
