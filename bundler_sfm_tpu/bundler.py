@@ -456,7 +456,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     snap = "." if scene.num_images < 40000 else None
     compute_geometric_constraints(scene, seed=args.seed,
                                   cache_path="constraints.txt",
-                                  snapshot_dir=snap)
+                                  snapshot_dir=snap,
+                                  scores_path="pairwise_scores.txt")
     print(f"[bundler] {len(scene.tracks)} tracks")
 
     if args.bundle:

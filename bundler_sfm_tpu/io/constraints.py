@@ -104,11 +104,13 @@ def read_geometric_constraints(path: str, scene: Scene) -> None:
 
 
 def write_pairwise_scores(path: str, scene: Scene) -> None:
-    """pairwise_scores.txt: `i j num_inliers ratio` per pair
-    (`src/BundlerGeometry.cpp:309-326`)."""
+    """pairwise_scores.txt: `i j ratio` per matched pair, ratio %0.5f —
+    the exact lines `src/BundlerGeometry.cpp:309-326` prints at the end of
+    ComputeTransforms (pairs whose homography failed keep the default
+    ratio 0, as the reference's default-constructed TransformInfo does)."""
     with open(path, "w") as f:
         for (i, j) in sorted(scene.transforms.keys()):
             if i >= j:
                 continue
             t = scene.transforms[(i, j)]
-            f.write(f"{i} {j} {t.num_inliers} {t.inlier_ratio:0.6f}\n")
+            f.write(f"{i} {j} {t.inlier_ratio:0.5f}\n")

@@ -5,16 +5,22 @@ Re-implements the logic of `bin/extract_focal.pl:346-412` /
 
     focal_px = focal_mm * max_resolution_px / ccd_width_mm
 
-The reference ships a large database of camera-model → CCD width entries; here
-we carry a compact table of common models, prefer the `FocalLengthIn35mmFilm`
-EXIF tag when present (ccd width 36mm equivalent), and accept a user-supplied
-database via `load_ccd_database`.  Requires Pillow only when actually called.
+The full camera-model → CCD-width database is ported in `ccd_widths.py`
+(every entry of `bin/extract_focal.pl:30-305`), keyed the way the perl builds
+its lookup string: `"$make $model"`, trimmed (`extract_focal.pl:353-358`).
+Fallbacks, in order: substring match against the compact legacy table below,
+the `FocalLengthIn35mmFilm` tag (36 mm frame width), and the EXIF focal-plane
+resolution (how jhead derives the "CCD width" tag the perl falls back to,
+`extract_focal.pl:361-371`).  A user-supplied database can be layered on via
+`load_ccd_database`.  Requires Pillow only when actually called.
 """
 
 from __future__ import annotations
 
 import os
 from typing import Dict, Optional, Tuple
+
+from bundler_sfm_tpu.io.ccd_widths import CCD_WIDTHS_DB
 
 # model substring (lowercase) -> CCD width in mm
 CCD_WIDTHS: Dict[str, float] = {
@@ -87,19 +93,47 @@ def extract_focal_pixels(image_path: str) -> float:
     res = max(width, height)
 
     focal_mm = _to_float(tags.get("FocalLength"))
-    model = str(tags.get("Model", "")).strip().lower()
-    make = str(tags.get("Make", "")).strip().lower()
-    full = model if model.startswith(make.split(" ")[0]) else f"{make} {model}".strip()
+    model = str(tags.get("Model", "")).strip()
+    make = str(tags.get("Make", "")).strip()
 
-    if focal_mm and full:
-        for key, ccd in CCD_WIDTHS.items():
-            if key in full or full in key:
-                return focal_mm * res / ccd
+    if focal_mm:
+        # Exact "make model" lookup against the full ported database — the
+        # same sprintf("%s %s", make, model) + trim key extract_focal.pl
+        # builds (`:353-358`); normalized by lowercasing + collapsing runs
+        # of whitespace.
+        full_exact = " ".join(f"{make} {model}".lower().split())
+        ccd = CCD_WIDTHS_DB.get(full_exact)
+        if ccd:
+            return focal_mm * res / ccd
+
+        # Legacy substring matching against the compact table.
+        model_l = model.lower()
+        make_l = make.lower()
+        full = model_l if model_l.startswith(make_l.split(" ")[0]) \
+            else f"{make_l} {model_l}".strip()
+        if full:
+            for key, ccd in CCD_WIDTHS.items():
+                if key in full or full in key:
+                    return focal_mm * res / ccd
 
     # Fall back to the 35mm-equivalent tag (36mm frame width).
     f35 = _to_float(tags.get("FocalLengthIn35mmFilm"))
     if f35 and f35 > 0:
         return f35 * res / 36.0
+
+    # Last resort: derive the sensor width from the focal-plane resolution
+    # tags — this is exactly where jhead's "CCD width" output (the perl's
+    # own fallback, `extract_focal.pl:361-371`) comes from.
+    if focal_mm:
+        fpx = _to_float(tags.get("FocalPlaneXResolution"))
+        unit = tags.get("FocalPlaneResolutionUnit", 2)
+        exif_w = _to_float(tags.get("ExifImageWidth")) or float(width)
+        if fpx and fpx > 0:
+            mm_per_unit = {2: 25.4, 3: 10.0, 4: 1.0, 5: 0.0254}.get(
+                int(unit) if unit else 2, 25.4)
+            ccd = exif_w * mm_per_unit / fpx
+            if 1.0 < ccd < 60.0:
+                return focal_mm * res / ccd
     return 0.0
 
 

@@ -417,6 +417,20 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             if verbose:
                 log(f"[RunSFM] cam {s}: {sel.sum()} obs, mean "
                     f"{d.mean():.3f}, p80 {med:.3f}, thresh {thresh:.3f}")
+                # 10-bin reprojection-error histogram, printed per camera
+                # each round like the reference's OUTPUT_VERBOSE_STATS block
+                # (src/Bundle.cpp:823-846): bins span [min, max] of this
+                # camera's errors, counts are "<= bin upper edge".
+                ds = np.sort(d)
+                pr_min, pr_max = ds[0], ds[-1]
+                step = (pr_max - pr_min) / 10.0
+                edges = pr_min + step * np.arange(1, 11)
+                cum = np.searchsorted(ds, edges, side="right")
+                cum[-1] = len(ds)   # top edge inclusive despite fp rounding
+                sizes = np.diff(np.concatenate([[0], cum]))
+                for b in range(10):
+                    log(f"   E[{edges[b] - step:0.3e}--{edges[b]:0.3e}]: "
+                        f"{int(sizes[b])} [{sizes[b] / len(ds):0.3f}]")
             bad = np.nonzero(sel)[0][d > thresh]
             for o in bad:
                 outliers.append(live[obs_pt[o]])

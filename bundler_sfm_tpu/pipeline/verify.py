@@ -153,6 +153,13 @@ def compute_transforms(scene: Scene, seed: int = 1, batch: int = None
     called with removeBadMatches=false, `:146`; MIN_INLIERS=10)."""
     cfg = scene.config
     pairs = sorted(scene.matches.keys())
+    # The reference default-constructs a TransformInfo for EVERY matched
+    # pair before attempting the fit (BundlerGeometry.cpp:283-284), so pairs
+    # whose homography fails still appear (ratio 0) in pairwise_scores.txt.
+    for (i, j) in pairs:
+        if i < j:
+            scene.transforms.setdefault((i, j), TransformInfo())
+            scene.transforms.setdefault((j, i), TransformInfo())
     todo = [p for p in pairs if len(scene.matches[p]) >= 4]
     if not todo:
         return
@@ -187,7 +194,8 @@ def compute_transforms(scene: Scene, seed: int = 1, batch: int = None
 def compute_geometric_constraints(scene: Scene, seed: int = 0,
                                   cache_path=None,
                                   overwrite: bool = False,
-                                  snapshot_dir=None) -> None:
+                                  snapshot_dir=None,
+                                  scores_path=None) -> None:
     """The full verification stage (`ComputeGeometricConstraints`,
     `src/BundlerGeometry.cpp:99-194`): F filter → H score → symmetric lists
     → tracks → per-image track tables.
@@ -223,6 +231,11 @@ def compute_geometric_constraints(scene: Scene, seed: int = 0,
     if not cfg.skip_homographies:
         with stage("verify_homography"):
             compute_transforms(scene, seed=seed)
+    if scores_path is not None:
+        # The reference emits pairwise_scores.txt at the end of every
+        # ComputeTransforms run (`src/BundlerGeometry.cpp:309-326`).
+        from bundler_sfm_tpu.io.constraints import write_pairwise_scores
+        write_pairwise_scores(scores_path, scene)
     if snapshot_dir is not None:
         write_match_table(scene.num_images, scene.matches, ".ransac",
                           snapshot_dir)

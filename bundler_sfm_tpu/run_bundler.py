@@ -129,7 +129,8 @@ def main(argv=None) -> int:
     scene = Scene(config=cfg, entries=entries, dims=dims, key_xy=key_xy,
                   key_color=key_color, matches=matches)
     t0 = time.time()
-    compute_geometric_constraints(scene, seed=args.seed)
+    compute_geometric_constraints(scene, seed=args.seed,
+                                  scores_path="pairwise_scores.txt")
     print(f"[RunBundler] {len(scene.tracks)} tracks "
           f"({time.time()-t0:.1f}s)")
     recon = bundle_adjust_fast(scene, out_dir=args.out, seed=args.seed)

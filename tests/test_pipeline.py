@@ -220,3 +220,43 @@ def test_fix_necker_reversal(rng):
         jnp.asarray(np.array(obs_pt, np.int32))))
     err = np.linalg.norm(pred - np.array(obs_xy), axis=1)
     assert np.median(err) < 1.0
+
+
+def test_observability_outputs(rng, tmp_path, capsys):
+    """pairwise_scores.txt (`src/BundlerGeometry.cpp:309-326`) and the
+    per-camera 10-bin error histograms (`src/Bundle.cpp:823-846`) are
+    emitted during a run, in the reference's formats."""
+    import re
+    from bundler_sfm_tpu.pipeline.incremental import (
+        pick_initial_pair, run_sfm, setup_initial_pair,
+    )
+    scene, syn = make_pipeline_scene(
+        rng, num_cams=3, num_pts=120,
+        seed_cfg=default_pipeline_config(
+            fmatrix_rounds=256, homography_rounds=64, projection_rounds=256,
+            sfm_max_iters=30))
+    scores = tmp_path / "pairwise_scores.txt"
+    compute_geometric_constraints(scene, seed=3, scores_path=str(scores))
+    assert scores.exists()
+    lines = scores.read_text().splitlines()
+    assert lines, "no pairwise scores written"
+    for ln in lines:
+        m = re.fullmatch(r"(\d+) (\d+) (\d\.\d{5})", ln)
+        assert m, f"bad pairwise_scores line: {ln!r}"
+        assert int(m.group(1)) < int(m.group(2))
+        assert 0.0 <= float(m.group(3)) <= 1.0
+
+    i, j = pick_initial_pair(scene, True)
+    recon = setup_initial_pair(scene, i, j, seed=5)
+    run_sfm(recon, scene, remove_outliers=False)
+    out = capsys.readouterr().out
+    hist = [ln for ln in out.splitlines() if ln.startswith("   E[")]
+    # 10 bins per camera per round, 2 cameras, >= 1 round.
+    assert len(hist) >= 20
+    for ln in hist[:10]:
+        assert re.fullmatch(
+            r"   E\[-?\d\.\d{3}e[+-]\d+---?\d\.\d{3}e[+-]\d+\]: \d+ "
+            r"\[\d\.\d{3}\]", ln), f"bad histogram line: {ln!r}"
+    # Bin fractions for one camera sum to ~1.
+    fracs = [float(ln.split("[")[2].rstrip("]")) for ln in hist[:10]]
+    assert abs(sum(fracs) - 1.0) < 0.01
