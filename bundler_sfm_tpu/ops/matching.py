@@ -38,7 +38,7 @@ _BIG = jnp.float32(3.0e38)
 _PALLAS_DB_BYTES = 8 * 1024 * 1024
 
 
-def _pallas_eligible(nq: int, nd: int) -> bool:
+def _pallas_eligible(nq: int, nd: int, itemsize: int = 4) -> bool:
     """Trace-time gate for the fused Pallas 2-NN (matching_pallas.py):
     TPU backend, tile-aligned shapes, db small enough to live in VMEM.
 
@@ -57,7 +57,8 @@ def _pallas_eligible(nq: int, nd: int) -> bool:
             and not os.environ.get("BUNDLER_PALLAS_MATCH")):
         return False
     from .matching_pallas import BD, TQ
-    return nq % TQ == 0 and nd % BD == 0 and nd * 512 <= _PALLAS_DB_BYTES
+    return (nq % TQ == 0 and nd % BD == 0
+            and nd * 128 * itemsize <= _PALLAS_DB_BYTES)
 
 
 def _two_nn_best(query, db, db_count, block):
@@ -65,10 +66,22 @@ def _two_nn_best(query, db, db_count, block):
     top-2 reduction stays in VMEM instead of round-tripping distance tiles
     through HBM), exact XLA fallback otherwise.  Both produce bit-identical
     integer distances."""
-    if _pallas_eligible(query.shape[0], db.shape[0]):
+    if _pallas_eligible(query.shape[0], db.shape[0],
+                        jnp.dtype(db.dtype).itemsize):
         from .matching_pallas import two_nn_pallas
         return two_nn_pallas(query, db, db_count)
     return two_nn(query, db, db_count, block=block)
+
+
+def _prep_desc(x: np.ndarray) -> np.ndarray:
+    """uint8 SIFT descriptors -> CENTERED int8 (u8 − 128): bit-identical
+    squared distances (shift invariance) on the int8 MXU path at 2× bf16
+    throughput and ¼ the memory/transfer cost.  Float inputs (tests,
+    synthetic data) stay float32 on the bf16 path."""
+    a = np.asarray(x)
+    if np.issubdtype(a.dtype, np.integer):
+        return (a.astype(np.int16) - 128).astype(np.int8)
+    return a.astype(np.float32)
 
 
 def _pad_to(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
@@ -121,28 +134,45 @@ def two_nn(query: jnp.ndarray, db: jnp.ndarray, db_count: jnp.ndarray,
            block: int = 2048):
     """Exact 2-NN of each query descriptor against a database.
 
-    query: [Nq, 128] float32 (zero-padded rows fine)
-    db:    [Nd, 128] float32, zero-padded beyond db_count
+    query: [Nq, 128] float32, or int8 CENTERED descriptors (u8 − 128 —
+           squared L2 distances are shift-invariant, so centered int8
+           operands give bit-identical integer distances while running the
+           MXU's int8 path at 2× bf16 throughput and ¼ the HBM traffic)
+    db:    [Nd, 128] same dtype as query, zero-padded beyond db_count
     Returns (d0, i0, d1): squared L2 distance and index of the nearest and
-    the squared distance of the second-nearest.
+    the squared distance of the second-nearest (f32 exact integers).
     """
     nq, dim = query.shape
     nd = db.shape[0]
-    q_sq = jnp.sum(query * query, axis=1)  # [Nq]
+    int8_path = query.dtype == jnp.int8
     num_blocks = nd // block
 
-    # Descriptor values are ints <= 255, exactly representable in bf16, and
-    # their 128-term dot products fit exactly in the f32 accumulator — so a
-    # single-pass bf16 MXU matmul yields EXACT integer distances.
-    q_b = query.astype(jnp.bfloat16)
+    if int8_path:
+        qi = query.astype(jnp.int32)
+        q_sq = jnp.sum(qi * qi, axis=1).astype(jnp.float32)   # [Nq]
+    else:
+        q_sq = jnp.sum(query * query, axis=1)  # [Nq]
+        # Descriptor values are ints <= 255, exactly representable in bf16,
+        # and their 128-term dot products fit exactly in the f32 accumulator
+        # — a single-pass bf16 MXU matmul yields EXACT integer distances.
+        q_b = query.astype(jnp.bfloat16)
 
     def block_dists(blk, start):
-        b_sq = jnp.sum(blk * blk, axis=1)
-        dots = jax.lax.dot_general(
-            q_b, blk.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Nq, block]
+        if int8_path:
+            bi = blk.astype(jnp.int32)
+            b_sq = jnp.sum(bi * bi, axis=1).astype(jnp.float32)
+            dots = jax.lax.dot_general(
+                query, blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)  # exact: |dot| <= 128·128² < 2^22
+        else:
+            b_sq = jnp.sum(blk * blk, axis=1)
+            dots = jax.lax.dot_general(
+                q_b, blk.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Nq, block]
         d = q_sq[:, None] + b_sq[None, :] - 2.0 * dots
         idx = start + jax.lax.broadcasted_iota(jnp.int32, (nq, block), 1)
         return jnp.where(idx < db_count, d, _BIG)
@@ -162,7 +192,7 @@ def two_nn(query: jnp.ndarray, db: jnp.ndarray, db_count: jnp.ndarray,
 
     # Derive the carry from the (possibly device-varying) input so shard_map's
     # varying-axis tracking sees consistent types across the scan.
-    big = jnp.full_like(query[:, 0], _BIG)
+    big = jnp.zeros_like(query[:, 0], dtype=jnp.float32) + _BIG
     zid = jnp.zeros_like(query[:, 0], dtype=jnp.int32)
     init = (big, zid, big, zid)
     (d0, i0, d1, _), _ = jax.lax.scan(
@@ -187,8 +217,8 @@ def match_pair(desc1: np.ndarray, desc2: np.ndarray, ratio: float = 0.6,
     n1, n2 = len(desc1), len(desc2)
     if n1 == 0 or n2 == 0:
         return np.zeros((0, 2), dtype=np.int32)
-    q = _pad_to(np.asarray(desc1, dtype=np.float32), _round_up(n1, 8))
-    db = _pad_to(np.asarray(desc2, dtype=np.float32), _round_up(n2, block))
+    q = _pad_to(_prep_desc(desc1), _round_up(n1, 8))
+    db = _pad_to(_prep_desc(desc2), _round_up(n2, block))
     d0, i0, d1 = two_nn(q, db, jnp.int32(n2), block=block)
     accept = _ratio_accept(d0, d1, jnp.int32(n1), jnp.float32(ratio * ratio))
     accept = np.asarray(accept)
@@ -268,10 +298,15 @@ class DescriptorTable:
         # Bucket the image count so different collections reuse the same
         # compiled kernel (remote compiles cost minutes).
         n = _round_up(len(descs), 8)
-        table = np.zeros((n, kmax, 128), dtype=np.float32)
+        # uint8 collections live as centered int8 (¼ the HBM + upload cost,
+        # int8 MXU path); float collections as f32 (bf16 path).
+        int_in = all(np.issubdtype(np.asarray(d).dtype, np.integer)
+                     for d in descs) if descs else True
+        dtype = np.int8 if int_in else np.float32
+        table = np.zeros((n, kmax, 128), dtype=dtype)
         counts = np.zeros(n, dtype=np.int32)
         for i, d in enumerate(descs):
-            table[i, :len(d)] = d
+            table[i, :len(d)] = _prep_desc(d)
             counts[i] = len(d)
         self.table = jax.device_put(table)
         self.counts = jax.device_put(counts)
@@ -337,7 +372,7 @@ def match_pairs_batched(
 
     def get_padded(i):
         if i not in padded:
-            padded[i] = _pad_to(np.asarray(descs[i], dtype=np.float32), kmax)
+            padded[i] = _pad_to(_prep_desc(descs[i]), kmax)
         return padded[i]
 
     for start in range(0, len(pairs), batch):

@@ -34,7 +34,13 @@ def _min_and_arg(d, base_idx):
 
 def _two_nn_kernel(q_ref, db_ref, nd_ref, d0_ref, i0_ref, d1_ref):
     q = q_ref[:]                                       # [TQ, 128]
-    q_sq = jnp.sum(q * q, axis=1, keepdims=True)       # [TQ, 1]
+    int8_path = q.dtype == jnp.int8
+    if int8_path:
+        qi = q.astype(jnp.int32)
+        q_sq = jnp.sum(qi * qi, axis=1,
+                       keepdims=True).astype(jnp.float32)
+    else:
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)   # [TQ, 1]
     nd_valid = nd_ref[0, 0]
     num_blocks = db_ref.shape[0] // BD
 
@@ -42,13 +48,22 @@ def _two_nn_kernel(q_ref, db_ref, nd_ref, d0_ref, i0_ref, d1_ref):
         d0, i0, d1 = carry
         start = b * BD
         blk = db_ref[pl.ds(start, BD), :]              # [BD, 128]
-        b_sq = jnp.sum(blk * blk, axis=1)              # [BD]
-        # bf16 operands are EXACT for uint8 descriptor values and run one
-        # MXU pass instead of f32's three; accumulation stays f32.
-        dots = jax.lax.dot_general(
-            q.astype(jnp.bfloat16), blk.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if int8_path:
+            # Centered int8 operands (u8 − 128; distances shift-invariant):
+            # the MXU int8 path at 2× bf16 rate, exact i32 accumulation.
+            bi = blk.astype(jnp.int32)
+            b_sq = jnp.sum(bi * bi, axis=1).astype(jnp.float32)
+            dots = jax.lax.dot_general(
+                q, blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            b_sq = jnp.sum(blk * blk, axis=1)          # [BD]
+            # bf16 operands are EXACT for uint8 descriptor values and run
+            # one MXU pass instead of f32's three; accumulation stays f32.
+            dots = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), blk.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         d = q_sq + b_sq[None, :] - 2.0 * dots          # [TQ, BD]
         col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + start
         d = jnp.where(col < nd_valid, d, jnp.float32(_BIG))
@@ -80,9 +95,9 @@ def _two_nn_kernel(q_ref, db_ref, nd_ref, d0_ref, i0_ref, d1_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def two_nn_pallas(query: jnp.ndarray, db: jnp.ndarray, db_count: jnp.ndarray,
                   interpret: bool = False):
-    """Fused 2-NN: query [Nq, 128] f32 (Nq % TQ == 0), db [Nd, 128] f32
-    (Nd % BD == 0, resident in VMEM).  Returns (d0, i0, d1) like
-    `ops.matching.two_nn`."""
+    """Fused 2-NN: query [Nq, 128] f32 or centered int8 (Nq % TQ == 0),
+    db [Nd, 128] same dtype (Nd % BD == 0, resident in VMEM).  Returns
+    (d0, i0, d1) like `ops.matching.two_nn`."""
     nq = query.shape[0]
     grid = (nq // TQ,)
     nd_arr = jnp.asarray(db_count, jnp.int32).reshape(1, 1)

@@ -19,7 +19,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from bundler_sfm_tpu.ops.matching import (
-    _match_batch_kernel, _pad_to, _round_up, prune_double_matches,
+    _match_batch_kernel, _pad_to, _prep_desc, _round_up,
+    prune_double_matches,
 )
 
 AXIS = "shard"
@@ -56,7 +57,7 @@ def match_pairs_sharded(
 
     def get(i):
         if i not in padded:
-            padded[i] = _pad_to(np.asarray(descs[i], np.float32), kmax)
+            padded[i] = _pad_to(_prep_desc(descs[i]), kmax)
         return padded[i]
 
     out: Dict[Tuple[int, int], np.ndarray] = {}

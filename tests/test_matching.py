@@ -80,3 +80,46 @@ def test_symmetrize():
     m = {(0, 1): np.array([[2, 3], [4, 5]], dtype=np.int32)}
     s = symmetrize(m)
     assert np.array_equal(s[(1, 0)], np.array([[3, 2], [5, 4]]))
+
+
+def test_int8_path_matches_f32_exactly():
+    """Centered-int8 distances (shift invariance) are bit-identical to the
+    f32/bf16 path for uint8 descriptors."""
+    import jax.numpy as jnp
+    from bundler_sfm_tpu.ops.matching import two_nn, _prep_desc
+    rng = np.random.default_rng(7)
+    q8 = rng.integers(0, 256, (64, 128), dtype=np.uint8)
+    d8 = rng.integers(0, 256, (512, 128), dtype=np.uint8)
+    qf = q8.astype(np.float32)
+    df = d8.astype(np.float32)
+    qi = _prep_desc(q8)
+    di = _prep_desc(d8)
+    assert qi.dtype == np.int8
+    d0f, i0f, d1f = two_nn(jnp.asarray(qf), jnp.asarray(df),
+                           jnp.int32(500), block=512)
+    d0i, i0i, d1i = two_nn(jnp.asarray(qi), jnp.asarray(di),
+                           jnp.int32(500), block=512)
+    np.testing.assert_array_equal(np.asarray(d0f), np.asarray(d0i))
+    np.testing.assert_array_equal(np.asarray(i0f), np.asarray(i0i))
+    np.testing.assert_array_equal(np.asarray(d1f), np.asarray(d1i))
+    # Multi-block scan path too.
+    d0i2, i0i2, _ = two_nn(jnp.asarray(qi), jnp.asarray(di),
+                           jnp.int32(500), block=128)
+    np.testing.assert_array_equal(np.asarray(d0i2), np.asarray(d0i))
+    np.testing.assert_array_equal(np.asarray(i0i2), np.asarray(i0i))
+
+
+def test_pallas_int8_interpret_matches():
+    """The Pallas kernel's int8 branch agrees with the XLA path
+    (interpreter mode; the compiled path is exercised on TPU)."""
+    import jax.numpy as jnp
+    from bundler_sfm_tpu.ops.matching import two_nn, _prep_desc
+    from bundler_sfm_tpu.ops.matching_pallas import two_nn_pallas
+    rng = np.random.default_rng(11)
+    q = _prep_desc(rng.integers(0, 256, (256, 128), dtype=np.uint8))
+    d = _prep_desc(rng.integers(0, 256, (512, 128), dtype=np.uint8))
+    ref = two_nn(jnp.asarray(q), jnp.asarray(d), jnp.int32(490), block=512)
+    got = two_nn_pallas(jnp.asarray(q), jnp.asarray(d), jnp.int32(490),
+                        interpret=True)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
