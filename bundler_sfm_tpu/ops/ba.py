@@ -496,12 +496,26 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
         iota_c = jnp.arange(C, dtype=cam_of_slot.dtype)
 
         def dense_tables(yp, wp, slots, mask):
-            # onehot [C,B,M] ⊙ data [B,M,27] → Σ_M → [C,B,9,3]
-            oh = ((slots[None, :, :] == iota_c[:, None, None]) & mask[None]
-                  ).astype(dtype)
-            yt = jnp.sum(oh[:, :, :, None, None] * yp[None], axis=2)
-            wt = jnp.sum(oh[:, :, :, None, None] * wp[None], axis=2)
-            return yt, wt
+            # Per-point one-hot [B,M,C] contracted against the slot data as
+            # a BATCHED MXU matmul: yt[b] = ohᵀ[b]·yp[b].  Exact in f32:
+            # each (point, camera) output sums at most ONE slot (a track
+            # never revisits an image, src/ComputeTracks.cpp:171), so no
+            # accumulation rounding is possible; f32 single-pass keeps the
+            # values bit-exact.  Replaces a [C,B,M,27] broadcast-reduce that
+            # streamed C× the slot data through the VPU.
+            oh = ((slots[:, :, None] == iota_c[None, None, :])
+                  & mask[:, :, None]).astype(dtype)          # [B,M,C]
+            B = yp.shape[0]
+            ypf = yp.reshape(B, M, CNP * PNP)
+            wpf = wp.reshape(B, M, CNP * PNP)
+            dn = (((1,), (1,)), ((0,), (0,)))                # contract M
+            yt = jax.lax.dot_general(oh, ypf, dn,
+                                     precision=jax.lax.Precision.HIGHEST)
+            wt = jax.lax.dot_general(oh, wpf, dn,
+                                     precision=jax.lax.Precision.HIGHEST)
+            # [B,C,27] → [C,B,9,3]
+            return (yt.transpose(1, 0, 2).reshape(C, B, CNP, PNP),
+                    wt.transpose(1, 0, 2).reshape(C, B, CNP, PNP))
 
         def block(yt, wt):
             # contract (point, 3): [C,B,9,3] × [C,B,9,3] → [C,9,C,9]
@@ -641,39 +655,121 @@ def back_substitute(Vinv, W, g_p, dcam, prob: BAProblem):
 # LM driver
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "fix_points",
-                                              "loss", "solver"))
-def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
-           tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12,
-           loss: str = "l2", huber_param: float = 25.0,
-           solver: str = "cholesky") -> BAResult:
-    """Levenberg-Marquardt with Schur complement; mirrors run_sfm's SBA call
-    (MAX_ITERS=150 `sfm.c:814`, opts `sfm.c:705-714`).
+def _psum(x, axis):
+    return x if axis is None else jax.lax.psum(x, axis)
 
-    loss="huber" + solver="cg" reproduce the Ceres backend's configuration
-    (HuberLoss(25) `src/BundleCeres.cpp:125,285`; ITERATIVE_SCHUR with
-    SCHUR_JACOBI for >200 cams `:132-134,369-379`)."""
-    C = prob.cam0.shape[0]
-    P = prob.pts0.shape[0]
+
+def _pmax(x, axis):
+    return x if axis is None else jax.lax.pmax(x, axis)
+
+
+def _schur_matvec_sharded(x, U_aug, Y, W, prob: BAProblem, axis: str):
+    """Matrix-free (S·x) from shard-local blocks: the off-diagonal
+    point-coupled term never materializes S.  Per shard:
+      t_o = W_oᵀ x[cam(o)];  s_i = Σ_{o∈views(i)} t_o;
+      c_j = Σ_{o:cam=j} Y_o s_{pt(o)};  S·x = U_aug·x − psum(c).
+    Communication is one [C,9] psum per product — C·36 bytes instead of the
+    C²·81·4-byte S_off reduction, and no replicated dense factorization."""
+    t = jnp.einsum("oab,oa->ob", W, x[prob.obs_cam])
+    s = _point_sum(t, prob)
+    u = jnp.einsum("oab,ob->oa", Y, s[prob.obs_pt])
+    c = jax.lax.psum(_segsum_onehot(u, prob.obs_cam, x.shape[0]), axis)
+    return jnp.einsum("jab,jb->ja", U_aug, x) - c
+
+
+def _solve_schur_cg_sharded(U_aug, Y, W, rhs, prob: BAProblem, axis: str,
+                            max_iters: int = 100, tol: float = 1e-8):
+    """Distributed SCHUR_JACOBI-preconditioned CG on the reduced camera
+    system (the >200-camera ITERATIVE_SCHUR configuration,
+    src/BundleCeres.cpp:132-134,369-379, distributed): the preconditioner
+    uses the true S diagonal blocks D_j = U_aug_j − Σ_i Y_ij W_ijᵀ (psum'd
+    once), the iteration uses the matrix-free psum matvec."""
+    C = U_aug.shape[0]
+    ywt = jnp.einsum("oab,ocb->oac", Y, W)                   # [O,9,9]
+    D = U_aug - jax.lax.psum(
+        _segsum_onehot(ywt, prob.obs_cam, C), axis)
+    Minv = jnp.linalg.inv(D + 1e-12 * jnp.eye(CNP, dtype=D.dtype))
+
+    def matvec(x):
+        return _schur_matvec_sharded(x, U_aug, Y, W, prob, axis)
+
+    def precond(r):
+        return jnp.einsum("jab,jb->ja", Minv, r)
+
+    b2 = jnp.sum(rhs * rhs)
+    x0 = jnp.zeros_like(rhs)
+    z0 = precond(rhs)
+    state = (x0, rhs, z0, z0, jnp.sum(rhs * z0), jnp.int32(0))
+
+    def cond(st):
+        x, r, z, p, rz, it = st
+        return (it < max_iters) & (jnp.sum(r * r) > tol * tol * b2)
+
+    def body(st):
+        x, r, z, p, rz, it = st
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-300)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        p = z + (rz_new / jnp.maximum(rz, 1e-300)) * p
+        return x, r, z, p, rz_new, it + 1
+
+    x, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return x
+
+
+def _lm_loop(prob: BAProblem, max_iters: int, fix_points: bool,
+             tau, eps1, eps2, loss: str, huber_param, solver: str,
+             axis: Optional[str] = None):
+    """The LM while-loop shared by run_ba, the fused outlier loop, and the
+    point-sharded distributed BA.  Starts from prob.cam0/pts0 (w live in
+    cam[:,3:6]); returns (cam, pts, cost, cost0, iters, mu) with w NOT yet
+    folded into R.
+
+    With `axis` set, `prob` is the SHARD-LOCAL problem inside a shard_map
+    over that mesh axis (points + their observations local, cameras
+    replicated): camera-side reductions (U, g_c, S_off, cost, norms) are
+    psum'd over the axis — exactly SBA's U/V/W/S algebra
+    (`lib/sba-1.5/sba_levmar.c:1191-1373`) with the point sums turned into
+    collectives.  Per-shard camera-constraint weights must be pre-scaled by
+    1/num_shards so the psum reconstructs them once."""
     dtype = prob.cam0.dtype
     eyec = jnp.eye(CNP, dtype=dtype)
     eyep = jnp.eye(PNP, dtype=dtype)
     huber_b = huber_param * huber_param
 
-    def damped_step(cam, pts, mu):
+    def global_blocks(cam, pts):
         U, V, W, g_c, g_p, cost = build_normal_blocks(
             cam, pts, prob, fix_points, loss=loss, huber_b=huber_b)
+        return (_psum(U, axis), V, W, _psum(g_c, axis), g_p,
+                _psum(cost, axis))
+
+    def damped_step(cam, pts, mu):
+        U, V, W, g_c, g_p, cost = global_blocks(cam, pts)
         frozen = 1.0 - prob.cam_mask
         U_aug = U + jax.vmap(jnp.diag)(frozen) + mu * eyec[None]
         V_aug = V + (mu + 1e-12) * eyep[None]
         Vinv = _inv3(V_aug)
         Vo = Vinv[prob.obs_pt]
         Y = (W[:, :, :, None] * Vo[:, None, :, :]).sum(2)
-        S, rhs = assemble_schur(U_aug, Y, W, g_c, g_p, prob)
-        if solver == "cg":
-            dcam = solve_schur_cg(S, rhs)
+        C = U_aug.shape[0]
+        if solver == "cg" and axis is not None:
+            # Matrix-free distributed PCG: never materializes S_off.
+            contrib = jnp.sum(Y * g_p[prob.obs_pt][:, None, :], axis=2)
+            rhs = g_c - jax.lax.psum(
+                _segsum_onehot(contrib, prob.obs_cam, C), axis)
+            dcam = _solve_schur_cg_sharded(U_aug, Y, W, rhs, prob, axis)
         else:
-            dcam = solve_schur(S, rhs)
+            S_off, rhs_off = assemble_schur_off(Y, W, g_p, prob, C)
+            S_off = _psum(S_off, axis)
+            rhs = g_c + _psum(rhs_off, axis)
+            S = S_off.at[jnp.arange(C), jnp.arange(C)].add(U_aug)
+            if solver == "cg":
+                dcam = solve_schur_cg(S, rhs)
+            else:
+                dcam = solve_schur(S, rhs)
         dcam = dcam * prob.cam_mask
         if fix_points:
             dpts = jnp.zeros_like(pts)
@@ -681,11 +777,15 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
             dpts = back_substitute(Vinv, W, g_p, dcam, prob)
         return dcam, dpts, g_c, g_p, cost
 
+    def total_cost(cam, pts):
+        return _psum(compute_cost(cam, pts, prob, loss=loss,
+                                  huber_b=huber_b), axis)
+
     # Initial damping: tau * max diagonal of JᵀJ (SBA's init).
-    U0, V0, _, g_c0, g_p0, cost0 = build_normal_blocks(
-        prob.cam0, prob.pts0, prob, fix_points, loss=loss, huber_b=huber_b)
+    U0, V0, _, g_c0, g_p0, cost0 = global_blocks(prob.cam0, prob.pts0)
     maxdiag = jnp.maximum(
-        jnp.max(jax.vmap(jnp.diag)(U0)), jnp.max(jax.vmap(jnp.diag)(V0)))
+        jnp.max(jax.vmap(jnp.diag)(U0)),
+        _pmax(jnp.max(jax.vmap(jnp.diag)(V0)), axis))
     mu0 = tau * jnp.maximum(maxdiag, 1.0)
 
     def cond(state):
@@ -699,11 +799,10 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
         dcam, dpts, g_c, g_p, _ = damped_step(cam, pts, mu)
         cam_new = cam + dcam * inv_s[None]   # δx = δq / s
         pts_new = pts + dpts
-        new_cost = compute_cost(cam_new, pts_new, prob, loss=loss,
-                                huber_b=huber_b)
+        new_cost = total_cost(cam_new, pts_new)
         # Gain ratio: predicted reduction = 0.5 δᵀ(mu δ + g).
-        pred = 0.5 * (jnp.sum(dcam * (mu * dcam + g_c))
-                      + jnp.sum(dpts * (mu * dpts + g_p)))
+        pred = 0.5 * jnp.sum(dcam * (mu * dcam + g_c)) + \
+            _psum(0.5 * jnp.sum(dpts * (mu * dpts + g_p)), axis)
         rho = (cost - new_cost) / jnp.maximum(pred, 1e-300)
         accept = new_cost < cost
         cam = jnp.where(accept, cam_new, cam)
@@ -715,19 +814,265 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
         nu = jnp.where(accept, 2.0, nu * 2.0)
         # Termination: small gradient or tiny step (opts eps1/eps2), both in
         # q-space like SBA checks its packed params.
-        gnorm = jnp.maximum(jnp.max(jnp.abs(g_c)), jnp.max(jnp.abs(g_p)))
+        gnorm = jnp.maximum(jnp.max(jnp.abs(g_c)),
+                            _pmax(jnp.max(jnp.abs(g_p)), axis))
         q = cam * prob.cam_scale[None]
-        pnorm = jnp.sqrt(jnp.sum(q * q) + jnp.sum(pts * pts))
-        dnorm = jnp.sqrt(jnp.sum(dcam * dcam) + jnp.sum(dpts * dpts))
+        pnorm = jnp.sqrt(jnp.sum(q * q) + _psum(jnp.sum(pts * pts), axis))
+        dnorm = jnp.sqrt(jnp.sum(dcam * dcam) +
+                         _psum(jnp.sum(dpts * dpts), axis))
         done = (gnorm < eps1) | (dnorm < eps2 * (pnorm + eps2)) | (mu > 1e30)
         return cam, pts, mu, nu, cost_next, it + 1, done
 
     state = (prob.cam0, prob.pts0, mu0, jnp.asarray(2.0, dtype), cost0,
              jnp.int32(0), jnp.asarray(False))
     cam, pts, mu, nu, cost, iters, _ = jax.lax.while_loop(cond, body, state)
+    return cam, pts, cost, cost0, iters, mu
 
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "fix_points",
+                                              "loss", "solver"))
+def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
+           tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12,
+           loss: str = "l2", huber_param: float = 25.0,
+           solver: str = "cholesky") -> BAResult:
+    """Levenberg-Marquardt with Schur complement; mirrors run_sfm's SBA call
+    (MAX_ITERS=150 `sfm.c:814`, opts `sfm.c:705-714`).
+
+    loss="huber" + solver="cg" reproduce the Ceres backend's configuration
+    (HuberLoss(25) `src/BundleCeres.cpp:125,285`; ITERATIVE_SCHUR with
+    SCHUR_JACOBI for >200 cams `:132-134,369-379`)."""
+    cam, pts, cost, cost0, iters, mu = _lm_loop(
+        prob, max_iters, fix_points, tau, eps1, eps2, loss, huber_param,
+        solver)
     # Fold w into R (run_sfm epilogue, sfm.c:876-929).
     R = jax.vmap(rot_update)(prob.R0, cam[:, 3:6])
     cam_out = cam.at[:, 3:6].set(0.0)
     return BAResult(cam=cam_out, R=R, pts=pts, cost=cost,
                     initial_cost=cost0, iters=iters, mu=mu)
+
+
+# --------------------------------------------------------------------------
+# Fused BA + outlier-removal loop (RunSFM's re-bundle loop, on device)
+# --------------------------------------------------------------------------
+
+class BAOutlierResult(NamedTuple):
+    """Result of the fused multi-pass BA + outlier-removal program."""
+    cam: jnp.ndarray          # [C,9] final params (w folded)
+    R: jnp.ndarray            # [C,3,3]
+    pts: jnp.ndarray          # [P,3]
+    obs_valid: jnp.ndarray    # [O] final observation liveness
+    pt_removed: jnp.ndarray   # [P] True where the point was removed
+    passes: jnp.ndarray       # number of BA passes run
+    iters: jnp.ndarray        # total LM iterations across passes
+    n_outliers: jnp.ndarray   # [max_passes] outlier points found per pass
+    stats: jnp.ndarray        # [max_passes, C, 4]: nobs, mean, p80, thresh
+    hist: jnp.ndarray         # [max_passes, C, 10] int32 error-bin counts
+    hist_edges: jnp.ndarray   # [max_passes, C, 2]: per-camera min/max error
+    avg_dist: jnp.ndarray     # mean reprojection error, final pass
+    too_few: jnp.ndarray      # True if live points dropped below min_points
+    cost: jnp.ndarray         # final pass cost
+    initial_cost: jnp.ndarray  # first pass initial cost
+
+
+def build_cam_obs_table(obs_cam: np.ndarray, num_cams: int,
+                        pad_slots: Optional[int] = None
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side static inversion of obs_cam: [C, S] observation indices per
+    camera + mask, the per-camera analogue of BAProblem.views_obs.  Feeds the
+    per-camera reprojection statistics (`src/Bundle.cpp:659-850`) on device."""
+    counts = np.bincount(obs_cam, minlength=num_cams)
+    S = pad_slots or max(1, int(counts.max()))
+    if counts.max() > S:
+        raise ValueError(f"camera has {counts.max()} obs > pad_slots={S}")
+    table = np.zeros((num_cams, S), dtype=np.int32)
+    mask = np.zeros((num_cams, S), dtype=bool)
+    order = np.argsort(obs_cam, kind="stable")
+    slot = np.concatenate([np.arange(c) for c in counts]) \
+        if len(obs_cam) else np.zeros(0, np.int64)
+    table[obs_cam[order], slot] = order
+    mask[obs_cam[order], slot] = True
+    return table, mask
+
+
+def _outlier_loop_core(
+    prob: BAProblem, cam_obs: jnp.ndarray, cam_obs_mask: jnp.ndarray,
+    max_iters: int, fix_points: bool, tau, eps1, eps2,
+    loss: str, huber_param, solver: str,
+    outlier_factor, min_thresh, max_thresh, min_outliers: int,
+    min_points: int, max_passes: int, remove_outliers: bool,
+    axis: Optional[str] = None,
+) -> BAOutlierResult:
+    """`RunSFM_SBA`'s full outer loop — BA, per-camera reprojection stats,
+    adaptive outlier threshold, point removal, re-bundle while more than
+    `min_outliers` points were removed (`src/Bundle.cpp:568-919`) — as ONE
+    device program.  The reference (and round-1's host driver) re-marshaled
+    the whole problem per pass; here the removal is an obs_valid mask update
+    carried through a lax.while_loop, so a reconstruction round costs one
+    dispatch instead of one per re-bundle.
+
+    outlier_factor = 1.2 · outlier_num_stddev (the 1.2·2·p80 rule,
+    `src/Bundle.cpp:762-771`); per-camera thresholds clamp to
+    [min_thresh, max_thresh].  Constrained points are never removed
+    (`src/Bundle.cpp:798-803`).
+
+    With `axis` set (shard-local prob inside shard_map; see _lm_loop), the
+    per-camera stats all_gather the per-observation distances — cam_obs must
+    then index the CONCATENATED layout (global obs id = shard·O_pad + local).
+    """
+    dtype = prob.cam0.dtype
+    C = prob.cam0.shape[0]
+    O = prob.obs_cam.shape[0]
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def pass_stats(cam, pts, R, ov):
+        """Per-camera reprojection stats on the CURRENT obs_valid set."""
+        p = prob._replace(obs_valid=ov)
+        pred, _ = _predict_obs(cam, pts, R, p)
+        d = jnp.linalg.norm(pred - prob.obs_xy, axis=1)       # [O]
+        if axis is None:
+            d_all, ov_all = d, ov
+        else:
+            d_all = jax.lax.all_gather(d, axis).reshape(-1)
+            ov_all = jax.lax.all_gather(ov, axis).reshape(-1)
+        dc = d_all[cam_obs]                                    # [C,S]
+        vm = cam_obs_mask & ov_all[cam_obs]
+        dmask = jnp.where(vm, dc, big)
+        dsort = jnp.sort(dmask, axis=1)
+        n = jnp.sum(vm, axis=1)                                # [C]
+        # kth_element at round(0.8·n) (src/Bundle.cpp:762-766).
+        k = jnp.clip(jnp.round(0.8 * n).astype(jnp.int32), 0,
+                     jnp.maximum(n - 1, 0))
+        p80 = jnp.where(n > 0, dsort[jnp.arange(C), k], 0.0)
+        thresh = jnp.clip(outlier_factor * p80, min_thresh, max_thresh)
+        mean = jnp.where(n > 0,
+                         jnp.sum(jnp.where(vm, dc, 0.0), axis=1)
+                         / jnp.maximum(n, 1), 0.0)
+        # 10-bin histogram between per-camera min/max, cumulative "<= edge"
+        # binning like the OUTPUT_VERBOSE_STATS block (Bundle.cpp:823-846).
+        pr_min = jnp.where(n > 0, dsort[:, 0], 0.0)
+        pr_max = jnp.where(n > 0, dsort[jnp.arange(C),
+                                        jnp.maximum(n - 1, 0)], 0.0)
+        step = (pr_max - pr_min) / 10.0
+        edges = pr_min[:, None] + step[:, None] * \
+            jnp.arange(1, 11, dtype=dtype)[None, :]            # [C,10]
+        le = (dmask[:, :, None] <= edges[:, None, :]) & vm[:, :, None]
+        cum = jnp.sum(le, axis=1).astype(jnp.int32)            # [C,10]
+        cum = cum.at[:, 9].set(n.astype(jnp.int32))  # top edge fp guard
+        bins = jnp.diff(cum, prepend=0, axis=1)
+        stats = jnp.stack([n.astype(dtype), mean, p80, thresh], axis=1)
+        return d, thresh, stats, bins, jnp.stack([pr_min, pr_max], axis=1)
+
+    def body(st):
+        (cam, pts, R0c, ov, removed, pass_i, n_out, stats_b, hist_b,
+         edge_b, nout_b, iters_tot, avg, cost_f, cost_i, too_few, live) = st
+
+        def run_pass(_):
+            p = prob._replace(R0=R0c, cam0=cam, pts0=pts, obs_valid=ov)
+            cam1, pts1, cost, cost0, iters, _ = _lm_loop(
+                p, max_iters, fix_points, tau, eps1, eps2, loss,
+                huber_param, solver, axis=axis)
+            # Fold w into the carried base rotations for the next pass.
+            R1 = jax.vmap(rot_update)(R0c, cam1[:, 3:6])
+            cam1 = cam1.at[:, 3:6].set(0.0)
+            d, thresh, stats, bins, edges = pass_stats(cam1, pts1, R1, ov)
+            bad_obs = ov & (d > thresh[prob.obs_cam])
+            bad_pt = jnp.any(prob.views_mask & bad_obs[prob.views_obs],
+                             axis=1)
+            # Constrained points are kept (src/Bundle.cpp:798-803).
+            bad_pt = bad_pt & ~((prob.pt_constrained > 0)
+                                & (prob.pt_weight > 0))
+            n_o = _psum(jnp.sum(bad_pt), axis).astype(jnp.int32)
+            if remove_outliers:
+                ov1 = ov & ~bad_pt[prob.obs_pt]
+                removed1 = removed | bad_pt
+            else:
+                ov1, removed1 = ov, removed
+            nvalid = _psum(jnp.sum(ov), axis)
+            avg1 = _psum(jnp.sum(jnp.where(ov, d, 0.0)), axis) \
+                / jnp.maximum(nvalid, 1)
+            return (cam1, pts1, R1, ov1, removed1, n_o, stats, bins, edges,
+                    iters, avg1, cost, cost0)
+
+        n_live = _psum(jnp.sum(jnp.any(prob.views_mask & ov[prob.views_obs],
+                                       axis=1)), axis)
+        ok = n_live >= min_points
+        # Run the pass unconditionally and select: ok is False at most once
+        # (the too-few-points exit), and value-selects keep branch types
+        # identical under shard_map's varying-axis tracking (lax.cond would
+        # need both branches to agree on which outputs are device-varying).
+        (cam1, pts1, R1, ov1, removed1, n_o, stats, bins, edges, iters1,
+         avg1, cost1, cost0) = run_pass(None)
+        sel = lambda new, old: jnp.where(ok, new, old)
+        cam = sel(cam1, cam)
+        pts = sel(pts1, pts)
+        R0c = sel(R1, R0c)
+        ov = sel(ov1, ov)
+        removed = sel(removed1, removed)
+        n_o = sel(n_o, jnp.int32(0))
+        stats = sel(stats, jnp.zeros((C, 4), dtype))
+        bins = sel(bins, jnp.zeros((C, 10), jnp.int32))
+        edges = sel(edges, jnp.zeros((C, 2), dtype))
+        iters = sel(iters1, jnp.int32(0))
+        avg = sel(avg1, avg)
+        cost = sel(cost1, cost_f)
+        zi = jnp.int32(0)
+        stats_b = jax.lax.dynamic_update_slice(stats_b, stats[None],
+                                               (pass_i, zi, zi))
+        hist_b = jax.lax.dynamic_update_slice(hist_b, bins[None],
+                                              (pass_i, zi, zi))
+        edge_b = jax.lax.dynamic_update_slice(edge_b, edges[None],
+                                              (pass_i, zi, zi))
+        nout_b = jax.lax.dynamic_update_slice(nout_b, n_o[None], (pass_i,))
+        cost_i = jnp.where(pass_i == 0, cost0, cost_i)
+        return (cam, pts, R0c, ov, removed,
+                pass_i + jnp.where(ok, jnp.int32(1), jnp.int32(0)), n_o,
+                stats_b, hist_b, edge_b,
+                nout_b, iters_tot + iters, avg, cost, cost_i,
+                too_few | ~ok, ok)
+
+    def cond(st):
+        pass_i, n_out = st[5], st[6]
+        too_few = st[15]
+        first = pass_i == 0
+        more = (n_out > min_outliers) if remove_outliers else \
+            jnp.asarray(False)
+        return ~too_few & (first | ((pass_i < max_passes) & more))
+
+    z = jnp.zeros
+    st0 = (prob.cam0, prob.pts0, prob.R0, prob.obs_valid,
+           z(prob.pts0.shape[0], dtype=bool), jnp.int32(0), jnp.int32(0),
+           z((max_passes, C, 4), dtype), z((max_passes, C, 10), jnp.int32),
+           z((max_passes, C, 2), dtype), z(max_passes, jnp.int32),
+           jnp.int32(0), jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
+           jnp.asarray(0.0, dtype), jnp.asarray(False), jnp.asarray(True))
+    (cam, pts, R0c, ov, removed, passes, _, stats_b, hist_b, edge_b,
+     nout_b, iters_tot, avg, cost_f, cost_i, too_few, _) = \
+        jax.lax.while_loop(cond, body, st0)
+
+    return BAOutlierResult(
+        cam=cam, R=R0c, pts=pts, obs_valid=ov, pt_removed=removed,
+        passes=passes, iters=iters_tot, n_outliers=nout_b, stats=stats_b,
+        hist=hist_b, hist_edges=edge_b, avg_dist=avg, too_few=too_few,
+        cost=cost_f, initial_cost=cost_i)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_iters", "fix_points", "loss", "solver", "max_passes",
+    "remove_outliers"))
+def run_ba_outlier_loop(
+    prob: BAProblem, cam_obs: jnp.ndarray, cam_obs_mask: jnp.ndarray,
+    max_iters: int = 150, fix_points: bool = False,
+    tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12,
+    loss: str = "l2", huber_param: float = 25.0, solver: str = "cholesky",
+    outlier_factor: float = 2.4, min_thresh: float = 8.0,
+    max_thresh: float = 16.0, min_outliers: int = 40, min_points: int = 8,
+    max_passes: int = 8, remove_outliers: bool = True,
+) -> BAOutlierResult:
+    """Single-device entry for the fused BA + outlier-removal loop; see
+    _outlier_loop_core.  The point-sharded variant is
+    parallel/ba_sharded.py run_ba_outlier_loop_sharded."""
+    return _outlier_loop_core(
+        prob, cam_obs, cam_obs_mask, max_iters, fix_points, tau, eps1,
+        eps2, loss, huber_param, solver, outlier_factor, min_thresh,
+        max_thresh, min_outliers, min_points, max_passes, remove_outliers,
+        axis=None)

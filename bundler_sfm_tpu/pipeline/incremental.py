@@ -42,7 +42,7 @@ from bundler_sfm_tpu.ops.triangulate import (
 )
 from bundler_sfm_tpu.pipeline.scene import CameraPose, Scene
 from bundler_sfm_tpu.pipeline.tracks import matches_from_tracks
-from bundler_sfm_tpu.utils import stage
+from bundler_sfm_tpu.utils import counter, stage
 
 INIT_REPROJECTION_ERROR = 16.0   # src/BundleAdd.cpp:43
 ADD_REPROJECTION_ERROR = 16.0    # src/BundleAdd.cpp:44
@@ -190,6 +190,7 @@ def setup_initial_pair(scene: Scene, i_best: int, j_best: int,
         x1p = np.zeros((pad, 2), dt); x1p[:n] = x1
         x2p = np.zeros((pad, 2), dt); x2p[:n] = x2
         with stage("init_5pt"):
+            counter("dispatches")
             R, t, cnt, ok = estimate_pose_5point(
                 jax.random.PRNGKey(seed + 101), jnp.asarray(x1p),
                 jnp.asarray(x2p), jnp.int32(n), f0, f1,
@@ -230,6 +231,7 @@ def setup_initial_pair(scene: Scene, i_best: int, j_best: int,
         t1 = (-R0 @ c0).astype(dt)
         t2 = (-R1 @ c1).astype(dt)
         with stage("init_triangulate"):
+            counter("dispatches")
             Xs, errs = _triangulate_pairs_jit(
                 jnp.asarray(p_all), jnp.asarray(q_all),
                 jnp.asarray(f0, dt), jnp.asarray(f1, dt),
@@ -306,10 +308,17 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             pt_weight: float = 0.0) -> float:
     """`RunSFM_SBA` with the >40-outlier re-bundle loop
     (src/Bundle.cpp:568-919).  `pt_constraints` maps recon point index ->
-    anchor position (--point_constraint_file, src/BundleIO.cpp:1241-1290)."""
+    anchor position (--point_constraint_file, src/BundleIO.cpp:1241-1290).
+
+    The whole BA + per-camera-threshold + point-removal + re-bundle loop
+    runs as ONE device program (ops/ba.py run_ba_outlier_loop) — the host
+    marshals the problem once and applies the removal bookkeeping once,
+    instead of re-gathering per pass.  The outer host `while` only re-enters
+    if the device hit its pass cap with outliers still above the floor."""
+    from bundler_sfm_tpu.ops.ba import build_cam_obs_table, run_ba_outlier_loop
     cfg = scene.config
     MIN_POINTS, MIN_OUTLIERS = cfg.sfm_min_points, cfg.sfm_min_outliers
-    total_outliers = 0
+    MAX_PASSES = 8
     avg_dist = 0.0
     while True:
         live, remap, (obs_cam, obs_pt, obs_xy) = _gather_problem(
@@ -365,93 +374,91 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             pt_constrained=pc_arr, pt_constraints=pc_con, pt_weight=pw,
             pad_cams=Cp, pad_pts=Pp, pad_obs=Op, max_views=Mp,
             dtype=_dt(cfg))
-        from bundler_sfm_tpu.utils import get_telemetry, stage
+        # Per-camera observation table for the on-device reprojection stats;
+        # slots bucketed so camera-count growth reuses compiled shapes.
+        Sp = _bucket(int(num_vis.max()), 256)
+        cam_obs, cam_obs_mask = build_cam_obs_table(obs_cam, Cp, Sp)
+        from bundler_sfm_tpu.utils import get_telemetry
+        solver = "cholesky"
+        loss = "l2"
+        if cfg.use_ceres:
+            solver = ("cholesky" if C <= cfg.ceres_dense_max_cameras
+                      else "cg")
+            loss = "huber"
         with stage("ba"):
-            if cfg.use_ceres:
-                solver = ("cholesky" if C <= cfg.ceres_dense_max_cameras
-                          else "cg")
-                res = run_ba(prob, max_iters=cfg.sfm_max_iters,
-                             fix_points=fix_points, tau=cfg.sfm_mu0_tau,
-                             eps1=cfg.sfm_eps1, eps2=cfg.sfm_eps2,
-                             loss="huber", huber_param=cfg.ceres_huber_param,
-                             solver=solver)
-            else:
-                res = run_ba(prob, max_iters=cfg.sfm_max_iters,
-                             fix_points=fix_points, tau=cfg.sfm_mu0_tau,
-                             eps1=cfg.sfm_eps1, eps2=cfg.sfm_eps2)
+            counter("dispatches")
+            res = run_ba_outlier_loop(
+                prob, jnp.asarray(cam_obs), jnp.asarray(cam_obs_mask),
+                max_iters=cfg.sfm_max_iters, fix_points=fix_points,
+                tau=cfg.sfm_mu0_tau, eps1=cfg.sfm_eps1, eps2=cfg.sfm_eps2,
+                loss=loss, huber_param=cfg.ceres_huber_param, solver=solver,
+                outlier_factor=1.2 * cfg.outlier_num_stddev,
+                min_thresh=cfg.min_proj_error_threshold,
+                max_thresh=cfg.max_proj_error_threshold,
+                min_outliers=MIN_OUTLIERS, min_points=MIN_POINTS,
+                max_passes=MAX_PASSES, remove_outliers=remove_outliers)
             get_telemetry().add("ba_observations",
                                 float(len(obs_cam)) * float(res.iters))
         cam = np.asarray(res.cam)
         Rf = np.asarray(res.R)
         pts = np.asarray(res.pts)
+        passes = int(res.passes)
+        n_out = np.asarray(res.n_outliers)
+        too_few = bool(res.too_few)
+        avg_dist = float(res.avg_dist)
+
         for s in range(C):
             recon.cam_params[s] = cam[s]
             recon.cam_R[s] = Rf[s]
         for k, p in enumerate(live):
             recon.points[p] = pts[k]
 
-        # Per-camera reprojection stats + outlier threshold
-        # (src/Bundle.cpp:659-850).  Host-side f64 reprojection: exact (the
-        # thresholds gate outlier removal) and free of device round trips.
-        co = cam[obs_cam].astype(np.float64)
-        v = pts[obs_pt].astype(np.float64) - co[:, 0:3]
-        pc = np.einsum("oij,oj->oi", Rf[obs_cam].astype(np.float64), v)
-        uv = -pc[:, 0:2] / pc[:, 2:3]
-        rsq = np.sum(uv * uv, axis=1)
-        D = 1.0 + co[:, 7] * rsq + co[:, 8] * rsq * rsq
-        pred = co[:, 6:7] * D[:, None] * uv
-        dists = np.linalg.norm(pred - obs_xy, axis=1)
-        avg_dist = float(dists.mean()) if len(dists) else 0.0
-
-        outliers: List[int] = []
-        for s in range(C):
-            sel = obs_cam == s
-            if not sel.any():
-                continue
-            d = dists[sel]
-            med = np.partition(d, min(int(round(0.8 * len(d))), len(d) - 1))[
-                min(int(round(0.8 * len(d))), len(d) - 1)]
-            thresh = np.clip(1.2 * cfg.outlier_num_stddev * med,
-                             cfg.min_proj_error_threshold,
-                             cfg.max_proj_error_threshold)
-            if verbose:
-                log(f"[RunSFM] cam {s}: {sel.sum()} obs, mean "
-                    f"{d.mean():.3f}, p80 {med:.3f}, thresh {thresh:.3f}")
-                # 10-bin reprojection-error histogram, printed per camera
-                # each round like the reference's OUTPUT_VERBOSE_STATS block
-                # (src/Bundle.cpp:823-846): bins span [min, max] of this
-                # camera's errors, counts are "<= bin upper edge".
-                ds = np.sort(d)
-                pr_min, pr_max = ds[0], ds[-1]
-                step = (pr_max - pr_min) / 10.0
-                edges = pr_min + step * np.arange(1, 11)
-                cum = np.searchsorted(ds, edges, side="right")
-                cum[-1] = len(ds)   # top edge inclusive despite fp rounding
-                sizes = np.diff(np.concatenate([[0], cum]))
-                for b in range(10):
-                    log(f"   E[{edges[b] - step:0.3e}--{edges[b]:0.3e}]: "
-                        f"{int(sizes[b])} [{sizes[b] / len(ds):0.3f}]")
-            bad = np.nonzero(sel)[0][d > thresh]
-            for o in bad:
-                outliers.append(live[obs_pt[o]])
-        outliers = sorted(set(outliers))
+        if verbose:
+            stats = np.asarray(res.stats)
+            hist = np.asarray(res.hist)
+            edges2 = np.asarray(res.hist_edges)
+            for pi in range(passes):
+                for s in range(C):
+                    n, mean, p80, thresh = stats[pi, s]
+                    if n <= 0:
+                        continue
+                    log(f"[RunSFM] cam {s}: {int(n)} obs, mean "
+                        f"{mean:.3f}, p80 {p80:.3f}, thresh {thresh:.3f}")
+                    # 10-bin error histogram (src/Bundle.cpp:823-846).
+                    pr_min, pr_max = edges2[pi, s]
+                    step = (pr_max - pr_min) / 10.0
+                    for b in range(10):
+                        hi = pr_min + step * (b + 1)
+                        log(f"   E[{hi - step:0.3e}--{hi:0.3e}]: "
+                            f"{int(hist[pi, s, b])} "
+                            f"[{hist[pi, s, b] / n:0.3f}]")
+                if remove_outliers:
+                    log(f"[RunSFM] Removing {int(n_out[pi])} outliers "
+                        f"(pass {pi + 1})")
+            log(f"[RunSFM] {passes} passes, {int(res.iters)} LM iters, "
+                f"cost {float(res.initial_cost):.1f} -> "
+                f"{float(res.cost):.1f}")
 
         if not remove_outliers:
             return avg_dist
 
-        for p in outliers:
+        # Apply the removal bookkeeping once for all passes.
+        removed = np.asarray(res.pt_removed)[:len(live)]
+        for k in np.nonzero(removed)[0]:
+            p = live[k]
             for (slot, key) in recon.pt_views[p]:
                 img = recon.added_order[slot]
                 recon.key_extra[img][key] = -2   # never re-added
             recon.pt_views[p] = []
             recon.colors[p] = np.array([0.0, 0.0, 255.0])
-        total_outliers += len(outliers)
-        if verbose:
-            log(f"[RunSFM] Removing {len(outliers)} outliers "
-                f"(iters={int(res.iters)}, cost {float(res.initial_cost):.1f}"
-                f" -> {float(res.cost):.1f})")
-        if len(outliers) <= MIN_OUTLIERS:
+
+        if too_few:
+            log("[RunSFM] Too few points remaining, exiting!")
+            return float("inf")
+        if passes < MAX_PASSES or int(n_out[passes - 1]) <= MIN_OUTLIERS:
             return avg_dist
+        # Device hit the pass cap with outliers still flowing: re-gather
+        # (dead points drop out) and run another fused batch of passes.
 
 
 # --------------------------------------------------------------------------
@@ -483,26 +490,33 @@ def fix_necker_reversal(recon: Reconstruction, scene: Scene) -> None:
     recon.cam_params[0] = np.concatenate([c0, np.zeros(3), [f0], np.zeros(2)])
     recon.cam_params[1] = np.concatenate([c1, np.zeros(3), [f1], np.zeros(2)])
 
-    # Re-triangulate each live point from its two views (:158-196).
-    for p in range(len(recon.points)):
-        views = recon.pt_views[p]
-        if len(views) < 2:
-            continue
-        (s1, k1), (s2, k2) = views[0], views[1]
-        img1, img2 = recon.added_order[s1], recon.added_order[s2]
-        xy1 = scene.key_xy[img1][k1]
-        xy2 = scene.key_xy[img2][k2]
-        fs1 = recon.cam_params[s1][6]
-        fs2 = recon.cam_params[s2][6]
-        p_n = -np.asarray(xy1) / fs1     # negated normalized coords
-        q_n = -np.asarray(xy2) / fs2
-        t1 = -recon.cam_R[s1] @ recon.cam_params[s1][0:3]
-        t2 = -recon.cam_R[s2] @ recon.cam_params[s2][0:3]
-        X, _ = triangulate_two_view(
-            jnp.asarray(p_n), jnp.asarray(q_n),
-            jnp.asarray(recon.cam_R[s1]), jnp.asarray(t1),
-            jnp.asarray(recon.cam_R[s2]), jnp.asarray(t2))
-        recon.points[p] = np.asarray(X)
+    # Re-triangulate each live point from its two views (:158-196), batched
+    # into one padded dispatch (both views are the two swapped cameras, so
+    # the whole pass shares one (f, R, t) pair per side).
+    dt = _dt(cfg)
+    todo = [p for p in range(len(recon.points))
+            if len(recon.pt_views[p]) >= 2]
+    if todo:
+        padn = _bucket(len(todo), 64)
+        p_all = np.zeros((padn, 2), dt)
+        q_all = np.zeros((padn, 2), dt)
+        q_all[len(todo):] = 1.0
+        for mi, p in enumerate(todo):
+            (s1, k1), (s2, k2) = recon.pt_views[p][0], recon.pt_views[p][1]
+            assert (s1, s2) == (0, 1)
+            p_all[mi] = scene.key_xy[recon.added_order[s1]][k1]
+            q_all[mi] = scene.key_xy[recon.added_order[s2]][k2]
+        t1 = (-recon.cam_R[0] @ recon.cam_params[0][0:3]).astype(dt)
+        t2 = (-recon.cam_R[1] @ recon.cam_params[1][0:3]).astype(dt)
+        counter("dispatches")
+        Xs, _ = _triangulate_pairs_jit(
+            jnp.asarray(p_all), jnp.asarray(q_all),
+            jnp.asarray(f0, dt), jnp.asarray(f1, dt),
+            jnp.asarray(recon.cam_R[0], dt), jnp.asarray(t1),
+            jnp.asarray(recon.cam_R[1], dt), jnp.asarray(t2))
+        Xs = np.asarray(Xs)
+        for mi, p in enumerate(todo):
+            recon.points[p] = Xs[mi].astype(np.float64)
 
     log("[FixNecker] Re-bundling the reversed configuration")
     run_sfm(recon, scene)
@@ -606,6 +620,7 @@ def refine_camera_iterative(scene: Scene, img: int, cam0: np.ndarray,
     fw = cfg.constrain_focal_weight if (cfg.constrain_focal and
                                         scene.has_init_focal(img)) else 0.0
     fc = scene.init_focal(img) if fw > 0 else 0.0
+    counter("dispatches")
     cam, R, mask = camera_refine_trim(
         jnp.asarray(cam0, dt), jnp.asarray(R0, dt), jnp.asarray(P),
         jnp.asarray(X), jnp.asarray(m), adjust_focal,
@@ -675,6 +690,7 @@ def bundle_initialize_images(recon: Reconstruction, scene: Scene,
 
     rkeys = jax.random.split(jax.random.PRNGKey(seed), Bp)
     with stage("resection"):
+        counter("dispatches")
         ver = _resect_batch(
             rkeys, jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(nv),
             jnp.asarray(cfg.projection_estimation_threshold, dt),
@@ -730,6 +746,7 @@ def bundle_initialize_images(recon: Reconstruction, scene: Scene,
     # as ONE fused device program (ops/lm.py camera_refine_trim).
     adjust_focal = not cfg.fixed_focal_length
     with stage("refine_camera"):
+        counter("dispatches")
         cam, R, masks_out = camera_refine_trim_batch(
             jnp.asarray(cam0), jnp.asarray(R0), jnp.asarray(Xp),
             jnp.asarray(xp), jnp.asarray(masks), adjust_focal,
@@ -741,7 +758,6 @@ def bundle_initialize_images(recon: Reconstruction, scene: Scene,
         masks = np.asarray(masks_out)
 
     registered = []
-    from bundler_sfm_tpu.utils import counter
     for b in live:
         c = cands[b]
         img = c["img"]
@@ -791,6 +807,7 @@ def bundle_initialize_image(recon: Reconstruction, scene: Scene, img: int,
     Xp = np.zeros((pad, 3), dt); Xp[:n] = pts3
     xp = np.zeros((pad, 2), dt); xp[:n] = projs
     with stage("resection"):
+        counter("dispatches")
         ver = find_and_verify_camera(
             jax.random.PRNGKey(seed), jnp.asarray(Xp), jnp.asarray(xp),
             jnp.int32(n), jnp.asarray(cfg.projection_estimation_threshold, dt),
@@ -839,7 +856,6 @@ def bundle_initialize_image(recon: Reconstruction, scene: Scene, img: int,
     recon.added_order.append(img)
     recon.cam_R.append(Rn)
     recon.cam_params.append(cam)
-    from bundler_sfm_tpu.utils import counter
     counter("images_registered")
     log(f"[BundleInitializeImage] {img}: registered with {len(inl)} points, "
         f"f={cam[6]:.2f}")
@@ -926,6 +942,7 @@ def add_all_new_points(recon: Reconstruction, scene: Scene) -> int:
 
     if not cfg.panorama_mode:
         # Triangulate all candidates at once.
+        counter("dispatches")
         X, err = triangulate_tracks_pixels(
             jnp.asarray(xy), jnp.asarray(fs), jnp.asarray(ks),
             jnp.asarray(Rs), jnp.asarray(cs), jnp.asarray(mask))
@@ -1178,13 +1195,15 @@ def bundle_adjust_fast(scene: Scene, out_dir: Optional[str] = None,
                        seed: int = 0) -> Reconstruction:
     """The full incremental loop (`BundleAdjustFast`,
     src/BundleFast.cpp:37-526)."""
-    from bundler_sfm_tpu.utils import get_telemetry, stage
+    from bundler_sfm_tpu.utils import get_telemetry
     with stage("total", verbose=True):
         recon = _bundle_adjust_fast(scene, out_dir, seed)
     rep = get_telemetry().report()
     log("[Telemetry] stage seconds: " + ", ".join(
         f"{k}={v:.1f}" for k, v in sorted(
             rep["stages_s"].items(), key=lambda kv: -kv[1])))
+    log(f"[Telemetry] device dispatches: "
+        f"{int(rep['counters'].get('dispatches', 0))}")
     return recon
 
 

@@ -135,25 +135,42 @@ def refine_points(points: np.ndarray, projs: np.ndarray,
     i (the reference's ray convention); views_R/views_c: per-view [v,3,3] /
     [v,3].  projs: [N,2] pixel observations in the new camera.
     """
-    from bundler_sfm_tpu.ops.triangulate import triangulate_track
+    from bundler_sfm_tpu.ops.triangulate import triangulate_tracks
+    n = len(points)
+    if n == 0:
+        return np.array(points, copy=True), 0.0
     f = cam[6]
-    out = np.array(points, copy=True)
-    errs = np.zeros(len(points))
-    for i in range(len(points)):
-        pv = np.concatenate([views_pv[i], (-projs[i] / f)[None, :]], axis=0)
-        Rs = np.concatenate([views_R[i], R_cam[None]], axis=0)
-        cs = np.concatenate([views_c[i], cam[None, 0:3]], axis=0)
-        ts = np.einsum("vij,vj->vi", Rs, -cs)
-        mask = np.ones(len(pv), bool)
-        X, _ = triangulate_track(jnp.asarray(pv), jnp.asarray(Rs),
-                                 jnp.asarray(ts), jnp.asarray(mask))
-        out[i] = np.asarray(X)
-        q = R_cam @ (out[i] - cam[0:3])
-        u = -f * q[0:2] / q[2]
-        rsq = (u @ u) / (f * f)
-        u = u * (1.0 + cam[7] * rsq + cam[8] * rsq * rsq)
-        errs[i] = ((u - projs[i]) ** 2).sum()
-    return out, float(np.sqrt(errs.mean())) if len(points) else 0.0
+    # One batched padded dispatch instead of a per-point device call.
+    counts = np.array([len(v) + 1 for v in views_pv])
+    M = max(4, int(counts.max()))
+    Np = _bucket(n, 64)
+    pv = np.zeros((Np, M, 2))
+    Rs = np.broadcast_to(np.eye(3), (Np, M, 3, 3)).copy()
+    cs = np.zeros((Np, M, 3))
+    mask = np.zeros((Np, M), bool)
+    for i in range(n):
+        v = len(views_pv[i])
+        pv[i, :v] = views_pv[i]
+        pv[i, v] = -projs[i] / f
+        Rs[i, :v] = views_R[i]
+        Rs[i, v] = R_cam
+        cs[i, :v] = views_c[i]
+        cs[i, v] = cam[0:3]
+        mask[i, :v + 1] = True
+    ts = np.einsum("pvij,pvj->pvi", Rs, -cs)
+    from bundler_sfm_tpu.utils import counter
+    counter("dispatches")
+    X, _ = triangulate_tracks(jnp.asarray(pv), jnp.asarray(Rs),
+                              jnp.asarray(ts), jnp.asarray(mask), 5)
+    out = np.asarray(X)[:n]
+    # RMS reprojection error in the NEW camera (the value RefinePoints
+    # reports, src/Bundle.cpp:2750-2771).
+    q = np.einsum("ij,pj->pi", R_cam, out - cam[0:3])
+    u = -f * q[:, 0:2] / q[:, 2:3]
+    rsq = np.sum(u * u, axis=1) / (f * f)
+    u = u * (1.0 + cam[7] * rsq + cam[8] * rsq * rsq)[:, None]
+    errs = ((u - projs) ** 2).sum(axis=1)
+    return out, float(np.sqrt(errs.mean()))
 
 
 def refine_camera_and_points(scene, cam0: np.ndarray, R0: np.ndarray,

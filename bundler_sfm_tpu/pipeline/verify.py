@@ -21,6 +21,7 @@ from bundler_sfm_tpu.ops.fmatrix import estimate_fmatrix_ransac
 from bundler_sfm_tpu.ops.homography import estimate_homography_ransac
 from bundler_sfm_tpu.ops.matching import symmetrize
 from bundler_sfm_tpu.pipeline.scene import Scene, TransformInfo
+from bundler_sfm_tpu.utils import counter
 from bundler_sfm_tpu.pipeline.tracks import build_tracks, tracks_to_image_tables
 
 
@@ -121,6 +122,7 @@ def compute_epipolar_geometry(scene: Scene, seed: int = 0,
             x2 = jnp.concatenate([x2, jnp.zeros((padb, pad_all, 2), x2.dtype)])
             n = jnp.concatenate([n, jnp.zeros(padb, jnp.int32)])
         keys = jax.random.split(jax.random.fold_in(base_key, start), batch)
+        counter("dispatches")
         F, inl, cnt = _fmatrix_batch(keys, x1, x2, n,
                                      jnp.asarray(cfg.fmatrix_threshold,
                                                  x1.dtype),
@@ -175,6 +177,7 @@ def compute_transforms(scene: Scene, seed: int = 1, batch: int = None
             x2 = jnp.concatenate([x2, jnp.zeros((padb, pad_all, 2), x2.dtype)])
             n = jnp.concatenate([n, jnp.zeros(padb, jnp.int32)])
         keys = jax.random.split(jax.random.fold_in(base_key, start), batch)
+        counter("dispatches")
         H, inl, cnt = _homography_batch(keys, x1, x2, n,
                                         jnp.asarray(cfg.homography_threshold,
                                                     x1.dtype),

@@ -247,3 +247,74 @@ def test_linearize_obs_matches_autodiff(rng):
                                rtol=1e-7, atol=1e-8)
     np.testing.assert_allclose(np.asarray(B), np.asarray(B2),
                                rtol=1e-7, atol=1e-8)
+
+
+def test_ba_outlier_loop_removes_outliers(rng):
+    """The fused device loop (run_ba_outlier_loop) reproduces RunSFM's
+    re-bundle-until-clean behavior: outlier points are removed via the
+    per-camera 1.2*2*p80 threshold and the survivors converge."""
+    from bundler_sfm_tpu.ops.ba import build_cam_obs_table, run_ba_outlier_loop
+    sc = Scene(rng, num_cams=4, num_pts=200, noise=0.5)
+    C, P = 4, 200
+    cam0 = np.zeros((C, CNP))
+    R0 = np.stack(sc.R[:C])
+    for i in range(C):
+        cam0[i, 0:3] = sc.centers[i]
+        cam0[i, 6] = sc.f[i]
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for c in range(C):
+        for p in range(P):
+            obs_cam.append(c)
+            obs_pt.append(p)
+            obs_xy.append(sc.obs[c][p])
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    obs_xy = np.array(obs_xy)
+    # Corrupt every observation of 12 points (gross outliers).
+    bad_pts = rng.choice(P, 12, replace=False)
+    bad_sel = np.isin(obs_pt, bad_pts)
+    obs_xy[bad_sel] += rng.uniform(60, 120, (bad_sel.sum(), 2))
+    pts0 = sc.points + rng.normal(size=sc.points.shape) * 0.02
+    prob = build_problem(R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
+                         est_distortion=False)
+    cam_obs, cam_mask = build_cam_obs_table(obs_cam, C)
+    res = run_ba_outlier_loop(
+        prob, jnp.asarray(cam_obs), jnp.asarray(cam_mask), max_iters=60,
+        min_outliers=2, min_points=8, max_passes=4)
+    removed = np.asarray(res.pt_removed)
+    # All corrupted points removed, hardly any clean ones.
+    assert removed[bad_pts].all()
+    assert removed.sum() <= 12 + 5
+    assert int(res.passes) >= 2
+    assert not bool(res.too_few)
+    # Survivor observations converge to the noise floor.
+    assert float(res.avg_dist) < 1.5
+    # Stats parity: pass-0 per-camera obs counts = full obs; thresholds in
+    # the [8, 16] clamp; histogram bins sum to the obs count.
+    stats = np.asarray(res.stats)
+    hist = np.asarray(res.hist)
+    assert (stats[0, :, 0] == P).all()
+    assert (stats[0, :, 3] >= 8.0 - 1e-9).all()
+    assert (stats[0, :, 3] <= 16.0 + 1e-9).all()
+    np.testing.assert_array_equal(hist[0].sum(axis=1), stats[0, :, 0])
+    # Final obs_valid excludes exactly the removed points' observations.
+    ov = np.asarray(res.obs_valid)[:len(obs_cam)]
+    assert not ov[np.isin(obs_pt, np.nonzero(removed)[0])].any()
+
+
+def test_ba_outlier_loop_single_pass_no_removal(rng):
+    from bundler_sfm_tpu.ops.ba import build_cam_obs_table, run_ba_outlier_loop
+    sc = Scene(rng, num_cams=3, num_pts=80, noise=0.3)
+    prob = make_problem(rng, sc, est_distortion=False)
+    obs_cam = np.asarray(prob.obs_cam)
+    cam_obs, cam_mask = build_cam_obs_table(obs_cam, 3)
+    res = run_ba_outlier_loop(
+        prob, jnp.asarray(cam_obs), jnp.asarray(cam_mask), max_iters=40,
+        remove_outliers=False, max_passes=4)
+    assert int(res.passes) == 1
+    assert not np.asarray(res.pt_removed).any()
+    assert np.asarray(res.obs_valid).all()
+    # Matches the plain run_ba result on the same problem.
+    ref = run_ba(prob, max_iters=40)
+    np.testing.assert_allclose(np.asarray(res.cam), np.asarray(ref.cam),
+                               rtol=1e-6, atol=1e-8)

@@ -118,3 +118,61 @@ def test_sharded_ba_cg_matches_cholesky(rng):
     assert float(r_cg.cost) < 1e-6
     assert np.allclose(np.asarray(r_cg.cam)[:4], np.asarray(r_chol.cam)[:4],
                        atol=1e-5)
+
+
+def test_sharded_outlier_loop_matches_single_device(rng):
+    """The fused RunSFM outlier loop gives the same removals and cameras on
+    the 8-device mesh as on one device (the production multi-chip BA path)."""
+    from bundler_sfm_tpu.ops.ba import (
+        build_cam_obs_table, run_ba_outlier_loop,
+    )
+    from bundler_sfm_tpu.parallel.ba_sharded import (
+        build_cam_obs_table_sharded, run_ba_outlier_loop_sharded,
+        unshard_flat,
+    )
+    mesh = make_mesh()
+    sc = Scene(rng, num_cams=4, num_pts=160, noise=0.5)
+    C, Pn = 4, 160
+    cam0 = np.zeros((C, CNP))
+    R0 = np.stack(sc.R[:C])
+    for i in range(C):
+        cam0[i, 0:3] = sc.centers[i]
+        cam0[i, 6] = sc.f[i]
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for c in range(C):
+        for p in range(Pn):
+            obs_cam.append(c); obs_pt.append(p); obs_xy.append(sc.obs[c][p])
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    obs_xy = np.array(obs_xy)
+    bad_pts = rng.choice(Pn, 10, replace=False)
+    bad_sel = np.isin(obs_pt, bad_pts)
+    obs_xy[bad_sel] += rng.uniform(60, 120, (bad_sel.sum(), 2))
+    pts0 = sc.points + rng.normal(size=sc.points.shape) * 0.02
+
+    prob1 = build_problem(R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
+                          est_distortion=False)
+    co1, cm1 = build_cam_obs_table(obs_cam, C)
+    res1 = run_ba_outlier_loop(prob1, jnp.asarray(co1), jnp.asarray(cm1),
+                               max_iters=50, min_outliers=2, max_passes=4)
+
+    probN = shard_problem(R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
+                          num_shards=8, est_distortion=False)
+    obs_pad = probN.obs_cam.shape[1]
+    coN, cmN = build_cam_obs_table_sharded(obs_cam, obs_pt, 8, obs_pad, C)
+    resN = run_ba_outlier_loop_sharded(
+        probN, jnp.asarray(coN), jnp.asarray(cmN), mesh,
+        max_iters=50, min_outliers=2, max_passes=4)
+
+    rem1 = np.asarray(res1.pt_removed)[:Pn]
+    remN = unshard_flat(np.asarray(resN.pt_removed), Pn)
+    np.testing.assert_array_equal(rem1, remN)
+    assert rem1[bad_pts].all()
+    assert int(resN.passes) == int(res1.passes)
+    assert np.allclose(np.asarray(resN.cam)[:C], np.asarray(res1.cam)[:C],
+                       atol=1e-5)
+    # Per-camera stats agree (pass 0: all observations present).
+    s1 = np.asarray(res1.stats)[0, :C]
+    sN = np.asarray(resN.stats)[0, :C]
+    np.testing.assert_array_equal(s1[:, 0], sN[:, 0])
+    np.testing.assert_allclose(s1[:, 1:], sN[:, 1:], rtol=1e-6, atol=1e-8)
