@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--key_dir", default=".")
     p.add_argument("--image_dir", default=".")
     p.add_argument("--output_dir", default=".")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="device-mesh size for sharded matching/BA "
+                        "(0 = all visible devices; TPU-native extension)")
     p.add_argument("--output", default=None)
     p.add_argument("--output_all", default=None)
     p.add_argument("--bundle", default=None)
@@ -242,6 +245,7 @@ def scene_from_args(args) -> "Scene":
         bundle_output_file=args.output or "bundle.out",
         bundle_output_base=args.output_all or "bundle_",
         output_all=args.output_all is not None,
+        num_devices=args.num_devices,
     ).validate()
 
     entries = read_list_file(args.list_file, args.image_dir)

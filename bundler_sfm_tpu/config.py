@@ -126,6 +126,10 @@ class BundlerConfig:
     ba_dtype: str = "float64"      # bundle-adjustment precision
     ransac_dtype: str = "float32"  # hypothesis scoring precision
     max_point_views: int = 32      # padded per-point view count in BA
+    # Device mesh: >1 shards the matcher's pair batches and the BA's
+    # points/observations over a jax.sharding.Mesh (pipeline picks the
+    # shard_map kernels from parallel/); 0 = all visible devices.
+    num_devices: int = 1
 
     def validate(self) -> "BundlerConfig":
         assert self.match_ratio > 0.0 and self.match_ratio < 1.0

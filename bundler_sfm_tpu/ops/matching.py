@@ -285,10 +285,37 @@ def _match_pairs_from_table_compact(table, counts, pi, pj, ratio_sq,
     return jax.vmap(one)(pi, pj)
 
 
-class DescriptorTable:
-    """Device-resident padded descriptor store for repeated pair matching."""
+@functools.partial(jax.jit, static_argnames=("block", "max_out",
+                                              "out_dtype", "mesh"))
+def _match_pairs_from_table_compact_sharded(table, counts, pi, pj, ratio_sq,
+                                            block, max_out, out_dtype, mesh):
+    """Pair batch sharded over the mesh, table replicated — each device runs
+    the compact matcher on its slice of the pair list (the KeyMatchFull
+    loop data-parallel over pairs, SURVEY.md §2.4 match-graph-sharding row)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    axis = mesh.axis_names[0]
 
-    def __init__(self, descs: Sequence[np.ndarray], block: int = 2048):
+    def local(t, c, a, b):
+        return _match_pairs_from_table_compact(t, c, a, b, ratio_sq,
+                                               block, max_out, out_dtype)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(axis), P(axis)),
+                   out_specs=(P(axis), P(axis)))
+    return fn(table, counts, pi, pj)
+
+
+class DescriptorTable:
+    """Device-resident padded descriptor store for repeated pair matching.
+
+    With `mesh` set (>1 device), match_pairs shards each pair batch across
+    the mesh (table replicated on every device)."""
+
+    def __init__(self, descs: Sequence[np.ndarray], block: int = 2048,
+                 mesh=None):
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
         # Shrink the tile to the actual key budget: padding 1k-key images to
         # a 2k block wastes 4x the MXU FLOPs of the distance matmuls.
         maxk = max((len(d) for d in descs), default=1) or 1
@@ -324,6 +351,10 @@ class DescriptorTable:
         # int16 halves the device->host transfer when indices fit (the key
         # dimension is padded to `block`, typically 2048 << 32768).
         out_dtype = jnp.int16 if self.table.shape[1] <= 32767 else jnp.int32
+        if self.mesh is not None:
+            # Pad the batch to a multiple of the mesh size for even shards.
+            D = self.mesh.devices.size
+            batch = _round_up(batch, D)
         results = []
         for start in range(0, len(pairs), batch):
             chunk = list(pairs[start:start + batch])
@@ -332,10 +363,16 @@ class DescriptorTable:
                 chunk.append(chunk[0])
             pi = jnp.asarray(np.array([i for i, _ in chunk], np.int32))
             pj = jnp.asarray(np.array([j for _, j in chunk], np.int32))
-            m, cnt = _match_pairs_from_table_compact(
-                self.table, self.counts, pi, pj,
-                jnp.float32(ratio * ratio), self.block, max_out,
-                out_dtype)
+            if self.mesh is not None:
+                m, cnt = _match_pairs_from_table_compact_sharded(
+                    self.table, self.counts, pi, pj,
+                    jnp.float32(ratio * ratio), self.block, max_out,
+                    out_dtype, self.mesh)
+            else:
+                m, cnt = _match_pairs_from_table_compact(
+                    self.table, self.counts, pi, pj,
+                    jnp.float32(ratio * ratio), self.block, max_out,
+                    out_dtype)
             results.append((chunk[:n_real], m, cnt))
         # Fetch after all batches are enqueued (overlaps device + transfer).
         for chunk, m, cnt in results:

@@ -67,6 +67,13 @@ def _dt(cfg):
     return np.float32 if cfg.ba_dtype == "float32" else np.float64
 
 
+def resolve_num_devices(cfg: BundlerConfig) -> int:
+    """config.num_devices with 0 = every visible device."""
+    if cfg.num_devices == 0:
+        return len(jax.devices())
+    return max(1, cfg.num_devices)
+
+
 @dataclasses.dataclass
 class Reconstruction:
     """Mutable reconstruction state (the arrays BundleAdjustFast carries)."""
@@ -363,21 +370,10 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             pw = pt_weight
 
         Cp = _round_up(C, 4)
-        Pp = _bucket(len(live), 256)
-        Op = _bucket(len(obs_cam), 1024)
         Mp = _round_up(max(len(recon.pt_views[p]) for p in live), 4)
-        prob = build_problem(
-            R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
-            est_focal=not cfg.fixed_focal_length,
-            est_distortion=cfg.estimate_distortion,
-            cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
-            pt_constrained=pc_arr, pt_constraints=pc_con, pt_weight=pw,
-            pad_cams=Cp, pad_pts=Pp, pad_obs=Op, max_views=Mp,
-            dtype=_dt(cfg))
-        # Per-camera observation table for the on-device reprojection stats;
-        # slots bucketed so camera-count growth reuses compiled shapes.
+        # Per-camera stat-table slots, bucketed so camera-count growth
+        # reuses compiled shapes.
         Sp = _bucket(int(num_vis.max()), 256)
-        cam_obs, cam_obs_mask = build_cam_obs_table(obs_cam, Cp, Sp)
         from bundler_sfm_tpu.utils import get_telemetry
         solver = "cholesky"
         loss = "l2"
@@ -385,23 +381,73 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             solver = ("cholesky" if C <= cfg.ceres_dense_max_cameras
                       else "cg")
             loss = "huber"
-        with stage("ba"):
-            counter("dispatches")
-            res = run_ba_outlier_loop(
-                prob, jnp.asarray(cam_obs), jnp.asarray(cam_obs_mask),
-                max_iters=cfg.sfm_max_iters, fix_points=fix_points,
-                tau=cfg.sfm_mu0_tau, eps1=cfg.sfm_eps1, eps2=cfg.sfm_eps2,
-                loss=loss, huber_param=cfg.ceres_huber_param, solver=solver,
-                outlier_factor=1.2 * cfg.outlier_num_stddev,
-                min_thresh=cfg.min_proj_error_threshold,
-                max_thresh=cfg.max_proj_error_threshold,
-                min_outliers=MIN_OUTLIERS, min_points=MIN_POINTS,
-                max_passes=MAX_PASSES, remove_outliers=remove_outliers)
-            get_telemetry().add("ba_observations",
-                                float(len(obs_cam)) * float(res.iters))
+        ba_kw = dict(
+            max_iters=cfg.sfm_max_iters, fix_points=fix_points,
+            tau=cfg.sfm_mu0_tau, eps1=cfg.sfm_eps1, eps2=cfg.sfm_eps2,
+            loss=loss, huber_param=cfg.ceres_huber_param, solver=solver,
+            outlier_factor=1.2 * cfg.outlier_num_stddev,
+            min_thresh=cfg.min_proj_error_threshold,
+            max_thresh=cfg.max_proj_error_threshold,
+            min_outliers=MIN_OUTLIERS, min_points=MIN_POINTS,
+            max_passes=MAX_PASSES, remove_outliers=remove_outliers)
+        D = resolve_num_devices(cfg)
+        if D > 1:
+            # Production multi-chip path: points/observations sharded over
+            # the mesh, cameras replicated — same fused loop under
+            # shard_map (SURVEY.md §2.4 distributed-BA row).
+            from bundler_sfm_tpu.parallel.ba_sharded import (
+                build_cam_obs_table_sharded, run_ba_outlier_loop_sharded,
+                shard_problem, unshard_flat, unshard_points,
+            )
+            from bundler_sfm_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(D)
+            Pp_s = _bucket(-(-len(live) // D), 64)
+            per_shard = np.bincount(
+                np.asarray(obs_pt, np.int64) % D, minlength=D)
+            Op_s = _bucket(max(1, int(per_shard.max())), 256)
+            probS = shard_problem(
+                R0, cam0, pts0, obs_cam, obs_pt, obs_xy, D,
+                est_focal=not cfg.fixed_focal_length,
+                est_distortion=cfg.estimate_distortion,
+                cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
+                pt_constrained=pc_arr, pt_constraints=pc_con, pt_weight=pw,
+                pad_cams=Cp, max_views=Mp, pad_obs_per_shard=Op_s,
+                pad_pts_per_shard=Pp_s, dtype=_dt(cfg))
+            cam_obs, cam_obs_mask = build_cam_obs_table_sharded(
+                obs_cam, obs_pt, D, Op_s, Cp, Sp)
+            with stage("ba"):
+                counter("dispatches")
+                res = run_ba_outlier_loop_sharded(
+                    probS, jnp.asarray(cam_obs), jnp.asarray(cam_obs_mask),
+                    mesh, **ba_kw)
+                get_telemetry().add("ba_observations",
+                                    float(len(obs_cam)) * float(res.iters))
+            pts = unshard_points(np.asarray(res.pts), len(live))
+            removed_arr = unshard_flat(np.asarray(res.pt_removed),
+                                       len(live))
+        else:
+            Pp = _bucket(len(live), 256)
+            Op = _bucket(len(obs_cam), 1024)
+            prob = build_problem(
+                R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
+                est_focal=not cfg.fixed_focal_length,
+                est_distortion=cfg.estimate_distortion,
+                cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
+                pt_constrained=pc_arr, pt_constraints=pc_con, pt_weight=pw,
+                pad_cams=Cp, pad_pts=Pp, pad_obs=Op, max_views=Mp,
+                dtype=_dt(cfg))
+            cam_obs, cam_obs_mask = build_cam_obs_table(obs_cam, Cp, Sp)
+            with stage("ba"):
+                counter("dispatches")
+                res = run_ba_outlier_loop(
+                    prob, jnp.asarray(cam_obs), jnp.asarray(cam_obs_mask),
+                    **ba_kw)
+                get_telemetry().add("ba_observations",
+                                    float(len(obs_cam)) * float(res.iters))
+            pts = np.asarray(res.pts)
+            removed_arr = np.asarray(res.pt_removed)[:len(live)]
         cam = np.asarray(res.cam)
         Rf = np.asarray(res.R)
-        pts = np.asarray(res.pts)
         passes = int(res.passes)
         n_out = np.asarray(res.n_outliers)
         too_few = bool(res.too_few)
@@ -443,7 +489,7 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             return avg_dist
 
         # Apply the removal bookkeeping once for all passes.
-        removed = np.asarray(res.pt_removed)[:len(live)]
+        removed = removed_arr
         for k in np.nonzero(removed)[0]:
             p = live[k]
             for (slot, key) in recon.pt_views[p]:

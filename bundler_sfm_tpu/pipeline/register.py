@@ -45,6 +45,26 @@ def coalesce_point_descriptors(
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def points_near_cameras(bundle: BundleFile, drop_pt: np.ndarray,
+                        num_nns: int = 20) -> np.ndarray:
+    """Indices of 3D points visible from the `num_nns` registered cameras
+    nearest to a position guess — the camera-neighborhood prefilter of
+    `BundleRegisterImage` (`src/Bundle.cpp:3722-3790`: CreateCameraSearchTree
+    + NUM_NNS=20).  The ANN camera tree becomes one batched distance
+    computation; the returned subset keeps per-registration matching cost
+    flat in the total point count at scale."""
+    regs = np.array([i for i, c in enumerate(bundle.cameras) if c.f > 0])
+    if len(regs) == 0:
+        return np.arange(len(bundle.points))
+    centers = np.stack([-bundle.cameras[i].R.T @ bundle.cameras[i].t
+                        for i in regs])
+    d2 = ((centers - np.asarray(drop_pt)[None]) ** 2).sum(axis=1)
+    near = set(int(i) for i in regs[np.argsort(d2)[:num_nns]])
+    keep = [pi for pi, p in enumerate(bundle.points)
+            if any(int(v[0]) in near for v in p.views)]
+    return np.array(keep, dtype=np.int64)
+
+
 def register_image(
     bundle: BundleFile,
     point_descs: np.ndarray,          # [P,128] coalesced descriptors
@@ -53,12 +73,30 @@ def register_image(
     config: Optional[BundlerConfig] = None,
     ratio: float = 0.6,
     seed: int = 0,
+    drop_pt: Optional[np.ndarray] = None,
+    num_nns: int = 20,
 ) -> Optional[Dict]:
     """Estimate the new image's camera.  Returns None on failure, else a
-    dict with R, center, f, k, inliers, matches."""
+    dict with R, center, f, k, inliers, matches.
+
+    With `drop_pt` (a position guess — the reference's m_drop_pt,
+    `src/Bundle.cpp:3730`), only points visible from the `num_nns` nearest
+    registered cameras are matched, as BundleRegisterImage's init_location
+    path does."""
     cfg = config or BundlerConfig()
-    matches = prune_double_matches(match_pair(new_desc, point_descs,
-                                              ratio=ratio))
+    if drop_pt is not None:
+        subset = points_near_cameras(bundle, drop_pt, num_nns)
+        if len(subset) == 0:
+            return None
+        matches = prune_double_matches(match_pair(
+            new_desc, point_descs[subset], ratio=ratio))
+        if len(matches):
+            matches = np.stack(
+                [matches[:, 0], subset[matches[:, 1]]], axis=1
+            ).astype(np.int32)
+    else:
+        matches = prune_double_matches(match_pair(new_desc, point_descs,
+                                                  ratio=ratio))
     if len(matches) < cfg.min_max_matches:
         return None
     X = np.stack([bundle.points[int(m[1])].pos for m in matches])

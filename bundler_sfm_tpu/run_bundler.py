@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     p.add_argument("--write_keys", action="store_true",
                    help="also write .key.gz files")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="device-mesh size for matching + BA sharding "
+                        "(0 = all visible devices)")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
     from bundler_sfm_tpu.config import default_pipeline_config
@@ -99,14 +102,22 @@ def main(argv=None) -> int:
         for j in range(start, i):
             pairs.append((j, i))
     t0 = time.time()
-    table = DescriptorTable(descs)
+    mesh = None
+    n_dev = args.num_devices
+    if n_dev == 0:
+        import jax
+        n_dev = len(jax.devices())
+    if n_dev > 1:
+        from bundler_sfm_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_dev)
+    table = DescriptorTable(descs, mesh=mesh)
     matches = table.match_pairs(pairs, min_matches=16)
     print(f"[RunBundler] matched {len(matches)}/{len(pairs)} pairs in "
           f"{time.time()-t0:.1f}s")
     write_match_file("matches.init.txt", matches)
 
     # 4. Reconstruction
-    cfg = default_pipeline_config()
+    cfg = default_pipeline_config(num_devices=args.num_devices)
     import jax
     if jax.default_backend() != "cpu":
         # f64 dense linalg (Cholesky/SVD) has no TPU lowering; the on-chip

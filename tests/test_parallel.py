@@ -176,3 +176,50 @@ def test_sharded_outlier_loop_matches_single_device(rng):
     sN = np.asarray(resN.stats)[0, :C]
     np.testing.assert_array_equal(s1[:, 0], sN[:, 0])
     np.testing.assert_allclose(s1[:, 1:], sN[:, 1:], rtol=1e-6, atol=1e-8)
+
+
+def test_descriptor_table_sharded_matches_single(rng):
+    """Production table matcher with a mesh = identical matches."""
+    from bundler_sfm_tpu.ops.matching import DescriptorTable
+    mesh = make_mesh()
+    base = make_descs(rng, 120)
+    descs = [make_descs(rng, 100 + 5 * i, seed_descs=base, n_shared=50)
+             for i in range(6)]
+    pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    t1 = DescriptorTable(descs, block=128)
+    tN = DescriptorTable(descs, block=128, mesh=mesh)
+    m1 = t1.match_pairs(pairs, min_matches=0)
+    mN = tN.match_pairs(pairs, min_matches=0)
+    assert set(m1.keys()) == set(mN.keys())
+    for k in m1:
+        np.testing.assert_array_equal(m1[k], mN[k])
+
+
+@pytest.mark.slow
+def test_e2e_pipeline_multi_device(rng, tmp_path):
+    """Full reconstruction with config.num_devices=8 (sharded matcher + BA)
+    matches the single-device pipeline on the virtual mesh."""
+    from tests.test_pipeline import make_pipeline_scene, similarity_align
+    from bundler_sfm_tpu.pipeline.verify import compute_geometric_constraints
+    from bundler_sfm_tpu.pipeline.incremental import bundle_adjust_fast
+    import dataclasses
+    import copy
+
+    scene1, syn = make_pipeline_scene(rng)
+    compute_geometric_constraints(scene1, seed=3)
+    sceneN = copy.deepcopy(scene1)
+    sceneN.config = dataclasses.replace(sceneN.config, num_devices=8)
+
+    rec1 = bundle_adjust_fast(scene1, out_dir=str(tmp_path / "d1"), seed=5)
+    recN = bundle_adjust_fast(sceneN, out_dir=str(tmp_path / "d8"), seed=5)
+
+    assert recN.num_cameras == rec1.num_cameras == 6
+    n1 = sum(1 for v in rec1.pt_views if v)
+    nN = sum(1 for v in recN.pt_views if v)
+    assert abs(n1 - nN) <= max(3, 0.02 * n1)
+    c1 = np.stack([rec1.cam_params[s][0:3] for s in range(6)])
+    cN = np.stack([recN.cam_params[s][0:3]
+                   for s in range(recN.num_cameras)])
+    # Same image order and near-identical centers.
+    assert recN.added_order == rec1.added_order
+    assert np.allclose(c1, cN, atol=1e-4)

@@ -205,3 +205,73 @@ def test_match_points_to_keys_directions(rng):
     hits2 = sum(1 for pi, ki in d2.items()
                 if ki < 30 and int(perm[ki]) == pi)
     assert hits2 >= 28
+
+
+def test_points_near_cameras_prefilter():
+    """The 20-NN camera prefilter (src/Bundle.cpp:3722-3790) selects only
+    points visible from cameras near the position guess."""
+    from bundler_sfm_tpu.io.bundlefile import (
+        BundleCamera, BundleFile, BundlePoint,
+    )
+    from bundler_sfm_tpu.pipeline.register import points_near_cameras
+
+    # Two camera clusters far apart; each sees its own points.
+    cams = []
+    pts = []
+    for g, off in enumerate((0.0, 1000.0)):
+        for i in range(25):
+            R = np.eye(3)
+            c = np.array([off + i * 0.1, 0.0, 0.0])
+            cams.append(BundleCamera(f=700.0, k1=0.0, k2=0.0, R=R,
+                                     t=-R @ c))
+        for p in range(40):
+            views = np.array([[g * 25 + (p % 25), p, 0.0, 0.0]])
+            pts.append(BundlePoint(
+                pos=np.array([off, 0.0, 5.0 + p * 0.01]),
+                color=np.zeros(3), views=views))
+    bundle = BundleFile(cameras=cams, points=pts)
+
+    near0 = points_near_cameras(bundle, np.array([0.0, 0.0, 0.0]),
+                                num_nns=20)
+    near1 = points_near_cameras(bundle, np.array([1000.0, 0.0, 0.0]),
+                                num_nns=20)
+    # Only the local cluster's points survive the prefilter.
+    assert set(near0).issubset(set(range(40)))
+    assert set(near1).issubset(set(range(40, 80)))
+    assert len(near0) > 0 and len(near1) > 0
+
+
+def test_register_image_with_drop_pt(rng):
+    """register_image(drop_pt=...) goes through the prefilter and still
+    localizes the held-out camera."""
+    from bundler_sfm_tpu.pipeline.register import register_image as _ri
+    scene, syn = make_pipeline_scene(rng, num_cams=6, num_pts=220)
+    num_pts = 220
+    base = rng.integers(0, 256, (num_pts, 128)).astype(np.int32)
+    key_descs = [rng.integers(0, 256, (len(scene.key_xy[c]), 128)
+                              ).astype(np.uint8) for c in range(6)]
+    compute_geometric_constraints(scene, seed=3)
+    scene.ignore_in_bundle[5] = True
+    recon = bundle_adjust_fast(scene, seed=5)
+    bundle = to_bundle_file(recon, scene)
+    for p_idx, p in enumerate(bundle.points):
+        for v in p.views:
+            img, key = int(v[0]), int(v[1])
+            key_descs[img][key] = np.clip(
+                base[p_idx % num_pts] + rng.integers(-2, 3, 128), 0, 255)
+    for tr, views in enumerate(scene.tracks):
+        pt = recon.track_extra[tr]
+        if pt < 0:
+            continue
+        for img, key in views:
+            if img == 5:
+                key_descs[5][key] = np.clip(
+                    base[pt % num_pts] + rng.integers(-2, 3, 128), 0, 255)
+    pdescs = coalesce_point_descriptors(bundle, key_descs)
+    # Guess near the reconstructed cameras' centroid.
+    centers = [-c.R.T @ c.t for c in bundle.cameras if c.f > 0]
+    guess = np.mean(centers, axis=0)
+    result = _ri(bundle, pdescs, key_descs[5], scene.key_xy[5],
+                 config=scene.config, seed=11, drop_pt=guess, num_nns=3)
+    assert result is not None
+    assert result["num_inliers"] > 30
