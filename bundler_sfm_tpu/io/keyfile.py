@@ -35,14 +35,40 @@ def _open_maybe_gzip(path: str):
 
 
 def resolve_key_path(path: str) -> str:
-    """Accept either `foo.key` or `foo.key.gz`, whichever exists."""
+    """Accept `foo.key`, `foo.key.gz`, `foo.key.bin`, or `foo.key.bin.gz` —
+    the fallback chain of `ReadKeyFileWithDesc` (src/keys.cpp:107-129)."""
     if os.path.exists(path):
         return path
-    if os.path.exists(path + ".gz"):
-        return path + ".gz"
+    for suffix in (".gz", ".bin", ".bin.gz"):
+        if os.path.exists(path + suffix):
+            return path + suffix
     if path.endswith(".gz") and os.path.exists(path[:-3]):
         return path[:-3]
     raise FileNotFoundError(path)
+
+
+def _parse_key_bin(data: bytes) -> Tuple[np.ndarray, np.ndarray]:
+    """Binary key layout (`ReadKeysFastBin`, src/keys.cpp): int32 count,
+    count × keypt_t{float32 x, y, scale, orient} (src/keys.h:134-138), then
+    count × 128 uint8 descriptors."""
+    n = int(np.frombuffer(data, np.int32, 1, 0)[0])
+    info = np.frombuffer(data, np.float32, n * 4, 4).reshape(n, 4).copy()
+    desc = np.frombuffer(data, np.uint8, n * 128, 4 + n * 16
+                         ).reshape(n, 128).copy()
+    return info, desc
+
+
+def write_key_file_bin(path: str, info: np.ndarray, desc: np.ndarray
+                       ) -> None:
+    """Write the ReadKeysFastBin layout.  `info` rows are (x, y, scale,
+    orient) — note the text format stores y first; the binary struct stores
+    x first (src/keys.h:134-138)."""
+    n = len(info)
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wb") as f:
+        f.write(np.int32(n).tobytes())
+        f.write(np.ascontiguousarray(info, dtype=np.float32).tobytes())
+        f.write(np.ascontiguousarray(desc, dtype=np.uint8).tobytes())
 
 
 def read_key_file(path: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -55,6 +81,8 @@ def read_key_file(path: str) -> Tuple[np.ndarray, np.ndarray]:
     path = resolve_key_path(path)
     with _open_maybe_gzip(path) as f:
         data = f.read()
+    if path.endswith((".bin", ".bin.gz")):
+        return _parse_key_bin(data)
     # Prefer the native single-pass tokenizer (native/keyio.cc, ~50x).
     try:
         from bundler_sfm_tpu import native

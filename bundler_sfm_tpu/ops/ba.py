@@ -75,6 +75,16 @@ def _robust_rho(s, loss: str, b):
     return jnp.where(s <= b, s, 2.0 * jnp.sqrt(b * s_safe) - b)
 
 
+def _robust_curvature(s, loss: str, b):
+    """rho''(s).  Huber: 0 in the inlier region, −½·√b·s^(−3/2) beyond —
+    non-positive everywhere, which is what makes the Triggs correction's
+    alpha term vanish for Huber (see build_normal_blocks)."""
+    if loss == "l2":
+        return jnp.zeros_like(s)
+    s_safe = jnp.maximum(s, 1e-30)
+    return jnp.where(s <= b, 0.0, -0.5 * jnp.sqrt(b) * s_safe ** -1.5)
+
+
 class BAProblem(NamedTuple):
     """Padded, static-shape bundle-adjustment problem."""
     R0: jnp.ndarray               # [C,3,3] base rotations
@@ -410,15 +420,34 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
     inv_s = 1.0 / prob.cam_scale                              # [9]
 
     r, A, B = _linearize_obs(cam, pts, prob)
-    # Robust IRLS scaling: rows of (r, A, B) scaled by sqrt(rho'(|r|^2)),
-    # the Gauss-Newton approximation Ceres uses sans the Triggs correction.
+    # Robust rescaling with the FULL Triggs correction, exactly Ceres's
+    # Corrector (internal/ceres/corrector.cc, as applied by the reference's
+    # --use_ceres backend):
+    #   alpha solves ½α² − α − (ρ''/ρ')·s = 0  (only when ρ'' > 0)
+    #   r ← √ρ'/(1−α) · r
+    #   J ← √ρ' · (J − (α/s) · r rᵀ J)
+    # When ρ'' ≤ 0 Ceres sets α = 0 and the correction reduces to the plain
+    # √ρ' IRLS scaling — HuberLoss has ρ'' ≤ 0 everywhere, so for the
+    # reference's Huber(25) configuration the two are IDENTICAL; the α
+    # branch keeps parity for any future ρ'' > 0 loss.
     s = jnp.sum(r * r, axis=1)
     rcost = 0.5 * jnp.sum(_robust_rho(s, loss, huber_b))
     if loss != "l2":
-        sw = jnp.sqrt(_robust_weight(s, loss, huber_b))
-        r = r * sw[:, None]
-        A = A * sw[:, None, None]
-        B = B * sw[:, None, None]
+        rho1 = _robust_weight(s, loss, huber_b)
+        rho2 = _robust_curvature(s, loss, huber_b)
+        sq1 = jnp.sqrt(rho1)
+        pos = rho2 > 0.0
+        Dd = jnp.maximum(
+            1.0 + 2.0 * s * rho2 / jnp.maximum(rho1, 1e-30), 0.0)
+        alpha = jnp.where(pos, 1.0 - jnp.sqrt(Dd), 0.0)
+        r_scale = jnp.where(pos,
+                            sq1 / jnp.maximum(1.0 - alpha, 1e-30), sq1)
+        asn = (alpha / jnp.maximum(s, 1e-30))[:, None, None]
+        rtA = (r[:, :, None] * A).sum(1)            # [O, 9]
+        A = sq1[:, None, None] * (A - asn * r[:, :, None] * rtA[:, None, :])
+        rtB = (r[:, :, None] * B).sum(1)            # [O, 3]
+        B = sq1[:, None, None] * (B - asn * r[:, :, None] * rtB[:, None, :])
+        r = r * r_scale[:, None]
     A = A * (prob.cam_mask[prob.obs_cam] * inv_s)[:, None, :]
     if fix_points:
         B = B * 0.0

@@ -42,19 +42,15 @@ def _pallas_eligible(nq: int, nd: int, itemsize: int = 4) -> bool:
     """Trace-time gate for the fused Pallas 2-NN (matching_pallas.py):
     TPU backend, tile-aligned shapes, db small enough to live in VMEM.
 
-    Off by default on the axon remote-TPU tunnel: the Mosaic custom call
-    makes the program's compile-cache key nondeterministic across processes
-    (measured: identical script/shapes produced distinct cache entries), so
-    every process pays a ~90-475 s remote recompile+load.  On local TPU
-    hardware that is a one-time in-process compile, so the kernel is on by
-    default there; BUNDLER_PALLAS_MATCH=1 force-enables it on the tunnel
-    (e.g. for steady-state kernel benchmarks that warm up first)."""
+    On by default everywhere with a TPU backend, including the axon tunnel:
+    round 1 gated it off there after measuring per-process compile-cache
+    misses for the Mosaic custom call, but the cache key is deterministic
+    across processes on the current jaxlib (verified: identical component
+    hashes in separate processes; a warm-cache fresh process loads in
+    ~1.5 s).  BUNDLER_NO_PALLAS_MATCH=1 disables it."""
     if os.environ.get("BUNDLER_NO_PALLAS_MATCH"):
         return False
     if jax.default_backend() == "cpu":
-        return False
-    if ("axon" in (jax.config.jax_platforms or "")
-            and not os.environ.get("BUNDLER_PALLAS_MATCH")):
         return False
     from .matching_pallas import BD, TQ
     return (nq % TQ == 0 and nd % BD == 0
@@ -252,36 +248,41 @@ def _match_pairs_from_table(table, counts, pi, pj, ratio_sq, block):
     return jax.vmap(one)(pi, pj)
 
 
+def _match_one_compact(qdesc, dbdesc, qcount, dbcount, ratio_sq, block,
+                       max_out, out_dtype=jnp.int32):
+    """One pair: 2-NN + ratio test + on-device keep-first dedup
+    (PruneDoubleMatches, src/MatchTracks.cpp:394-452: first match claiming
+    each target key wins) + compaction to fixed-size [max_out, 2] + count."""
+    K = dbdesc.shape[0]
+    d0, i0, d1 = _two_nn_best(qdesc, dbdesc, dbcount, block)
+    acc = _ratio_accept(d0, d1, qcount, ratio_sq)
+    nq = acc.shape[0]
+    qidx = jnp.arange(nq, dtype=jnp.int32)
+    # On-device keep-first dedup: the lowest query index claiming each
+    # target key wins (matches the host prune's scan order).
+    claimer = jax.ops.segment_min(jnp.where(acc, qidx, nq), i0,
+                                  num_segments=K)
+    keep = acc & (claimer[i0] == qidx)
+    # Stable partition: kept query indices first, in ascending order.
+    order = jnp.argsort(~keep, stable=True)
+    sel = order[:max_out].astype(jnp.int32)
+    cnt = jnp.sum(keep)
+    valid_slots = jnp.arange(max_out) < cnt
+    idx1 = jnp.where(valid_slots, sel, -1)
+    idx2 = jnp.where(valid_slots, i0[sel], -1)
+    out = jnp.stack([idx1, idx2], axis=1).astype(out_dtype)
+    return out, jnp.minimum(cnt, max_out).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "max_out", "out_dtype"))
 def _match_pairs_from_table_compact(table, counts, pi, pj, ratio_sq,
                                     block, max_out, out_dtype=jnp.int32):
-    """Like _match_pairs_from_table but dedups (PruneDoubleMatches,
-    src/MatchTracks.cpp:394-452: first match claiming each target key wins)
-    and compacts accepted matches ON DEVICE to fixed-size [B, max_out, 2]
-    + count — tiny host transfers, no host nonzero/unique scans (matters on
-    slow host links).  out_dtype=int16 halves the transfer when the key
-    count fits."""
-    K = table.shape[1]
-
+    """Batched _match_one_compact against an HBM-resident table — tiny host
+    transfers, no host nonzero/unique scans (matters on slow host links).
+    out_dtype=int16 halves the transfer when the key count fits."""
     def one(i, j):
-        d0, i0, d1 = _two_nn_best(table[i], table[j], counts[j], block)
-        acc = _ratio_accept(d0, d1, counts[i], ratio_sq)
-        nq = acc.shape[0]
-        qidx = jnp.arange(nq, dtype=jnp.int32)
-        # On-device keep-first dedup: the lowest query index claiming each
-        # target key wins (matches the host prune's scan order).
-        claimer = jax.ops.segment_min(jnp.where(acc, qidx, nq), i0,
-                                      num_segments=K)
-        keep = acc & (claimer[i0] == qidx)
-        # Stable partition: kept query indices first, in ascending order.
-        order = jnp.argsort(~keep, stable=True)
-        sel = order[:max_out].astype(jnp.int32)
-        cnt = jnp.sum(keep)
-        valid_slots = jnp.arange(max_out) < cnt
-        idx1 = jnp.where(valid_slots, sel, -1)
-        idx2 = jnp.where(valid_slots, i0[sel], -1)
-        out = jnp.stack([idx1, idx2], axis=1).astype(out_dtype)
-        return out, jnp.minimum(cnt, max_out)
+        return _match_one_compact(table[i], table[j], counts[i], counts[j],
+                                  ratio_sq, block, max_out, out_dtype)
     return jax.vmap(one)(pi, pj)
 
 

@@ -19,11 +19,134 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from bundler_sfm_tpu.ops.matching import (
-    _match_batch_kernel, _pad_to, _prep_desc, _round_up,
-    prune_double_matches,
+    _match_batch_kernel, _match_one_compact, _pad_to, _prep_desc,
+    _round_up, prune_double_matches,
 )
 
 AXIS = "shard"
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "block", "max_out",
+                                              "out_dtype"))
+def _ring_match_all_pairs(table, counts, ratio_sq, mesh: Mesh, block: int,
+                          max_out: int, out_dtype):
+    """All-pairs matching over a DEVICE-RESIDENT image-sharded descriptor
+    table with a ppermute ring (SURVEY.md §5's multi-host all-pairs
+    prescription — the ring-attention communication pattern applied to
+    distance matrices).
+
+    table: [D, I, K, 128] (images sharded over the mesh axis), counts
+    [D, I].  Each device keeps its QUERY shard pinned and rotates a DB shard
+    around the ring; at step r device d matches its queries against shard
+    (d + r) mod D.  Communication per step is one [I, K, 128] ppermute over
+    ICI/DCN; the padded host stacks of match_pairs_sharded never exist.
+    Returns (out [D, D, I, I, max_out, 2], cnt [D, D, I, I]) where
+    out[d, r, qi, di] are matches of global image d·I+qi (queries) against
+    (d+r)%D·I+di; lanes with global_q >= global_db are masked to cnt = -1
+    (each unordered pair is produced exactly once, i < j, matching
+    KeyMatchFull's j<i traversal direction, src/KeyMatchFull.cpp:105-151)."""
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+    perm = [(i, (i - 1) % D) for i in range(D)]
+
+    def local(tab, cnt):
+        tab = tab[0]
+        cnt = cnt[0]
+        I = tab.shape[0]
+        me = jax.lax.axis_index(axis)
+        qi_flat = jnp.arange(I * I, dtype=jnp.int32) // I
+        di_flat = jnp.arange(I * I, dtype=jnp.int32) % I
+
+        def match_block(db_tab, db_cnt, src):
+            gq = me.astype(jnp.int32) * I + qi_flat
+            gd = src.astype(jnp.int32) * I + di_flat
+
+            def one(qi, di):
+                return _match_one_compact(tab[qi], db_tab[di], cnt[qi],
+                                          db_cnt[di], ratio_sq, block,
+                                          max_out, out_dtype)
+            m, c = jax.vmap(one)(qi_flat, di_flat)
+            # Only i < j lanes are real; mask the rest with -1.
+            want = (gq < gd) & (cnt[qi_flat] > 0) & (db_cnt[di_flat] > 0)
+            c = jnp.where(want, c, -1)
+            return (m.reshape(I, I, max_out, 2), c.reshape(I, I))
+
+        def step(r, carry):
+            db_tab, db_cnt, outs, cnts = carry
+            src = (me + r) % D
+            m, c = match_block(db_tab, db_cnt, src)
+            zi = jnp.int32(0)
+            outs = jax.lax.dynamic_update_slice(
+                outs, m[None], (r, zi, zi, zi, zi))
+            cnts = jax.lax.dynamic_update_slice(cnts, c[None], (r, zi, zi))
+            db_tab = jax.lax.ppermute(db_tab, axis, perm)
+            db_cnt = jax.lax.ppermute(db_cnt, axis, perm)
+            return db_tab, db_cnt, outs, cnts
+
+        outs0 = jnp.zeros((D, I, I, max_out, 2), out_dtype)
+        cnts0 = jnp.full((D, I, I), -1, jnp.int32)
+        _, _, outs, cnts = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(D), step, (tab, cnt, outs0, cnts0))
+        return outs[None], cnts[None]
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                   out_specs=(P(AXIS), P(AXIS)), check_vma=False)
+    return fn(table, counts)
+
+
+class ShardedDescriptorTable:
+    """Descriptor table SHARDED over images across the mesh — for
+    collections whose descriptors exceed one device's memory.  Matching
+    runs as a ppermute ring pass (one shard rotation per step) with the
+    table permanently device-resident."""
+
+    def __init__(self, descs: Sequence[np.ndarray], mesh: Mesh,
+                 block: int = 2048):
+        from jax.sharding import NamedSharding
+        self.mesh = mesh
+        D = mesh.devices.size
+        maxk = max((len(d) for d in descs), default=1) or 1
+        self.block = min(block, _round_up(maxk, 512))
+        kmax = _round_up(maxk, self.block)
+        self.num_images = len(descs)
+        I = _round_up(-(-len(descs) // D), 1)
+        self.images_per_shard = I
+        int_in = all(np.issubdtype(np.asarray(d).dtype, np.integer)
+                     for d in descs) if descs else True
+        dtype = np.int8 if int_in else np.float32
+        table = np.zeros((D, I, kmax, 128), dtype=dtype)
+        counts = np.zeros((D, I), dtype=np.int32)
+        for i, d in enumerate(descs):
+            table[i // I, i % I, :len(d)] = _prep_desc(d)
+            counts[i // I, i % I] = len(d)
+        sh = NamedSharding(mesh, P(AXIS))
+        self.table = jax.device_put(table, sh)
+        self.counts = jax.device_put(counts, sh)
+
+    def match_all_pairs(self, ratio: float = 0.6, min_matches: int = 16,
+                        max_out: int = 2048
+                        ) -> Dict[Tuple[int, int], np.ndarray]:
+        max_out = min(max_out, self.table.shape[2])
+        out_dtype = jnp.int16 if self.table.shape[2] <= 32767 else jnp.int32
+        m, c = _ring_match_all_pairs(
+            self.table, self.counts, jnp.float32(ratio * ratio), self.mesh,
+            self.block, max_out, out_dtype)
+        m = np.asarray(m)
+        c = np.asarray(c)
+        D, _, I = c.shape[:3]
+        out: Dict[Tuple[int, int], np.ndarray] = {}
+        for d in range(D):
+            for r in range(D):
+                src = (d + r) % D
+                for qi in range(I):
+                    for di in range(I):
+                        n = int(c[d, r, qi, di])
+                        if n < min_matches:
+                            continue
+                        gi = d * I + qi
+                        gj = src * I + di
+                        out[(gi, gj)] = m[d, r, qi, di, :n].astype(np.int32)
+        return out
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "block"))

