@@ -238,20 +238,36 @@ _SCHUR_CHUNK_BUDGET = 1 << 25
 def _segsum_onehot(data, seg, num_segments: int):
     """Segment-sum via a one-hot MXU contraction.
 
-    TPU scatters serialize on colliding indices — with O(10^4-10^5)
+    TPU scatters serialize on colliding indices — with O(10^4-10^6)
     observations binned into a handful of cameras, XLA's scatter-add is the
     LM iteration's bottleneck.  A [N, S] 0/1 matrix contracted against the
     flattened data is exact (weights are 0/1, f32 accumulation) and rides
-    the MXU.  Falls back to segment_sum when the one-hot would be too big.
+    the MXU.  When the one-hot would exceed the memory budget it is CHUNKED
+    over N (a scan accumulating partial [S, k] products) — same O(N·S)
+    traffic, bounded peak memory, no scatter fallback.
     """
     N = data.shape[0]
-    if N * num_segments > _ONEHOT_BUDGET:
-        return jax.ops.segment_sum(data, seg, num_segments=num_segments)
     flat = data.reshape(N, -1)
     iota = jnp.arange(num_segments, dtype=seg.dtype)
-    onehot = (seg[:, None] == iota[None, :]).astype(flat.dtype)
-    out = jax.lax.dot_general(onehot, flat,
-                              dimension_numbers=(((0,), (0,)), ((), ())))
+    dn = (((0,), (0,)), ((), ()))
+    chunk = max(1, _ONEHOT_BUDGET // max(num_segments, 1))
+    if N <= chunk:
+        onehot = (seg[:, None] == iota[None, :]).astype(flat.dtype)
+        out = jax.lax.dot_general(onehot, flat, dn)
+        return out.reshape((num_segments,) + data.shape[1:])
+    nch = -(-N // chunk)
+    pad = nch * chunk - N
+    segc = jnp.pad(seg, (0, pad), constant_values=-1).reshape(nch, chunk)
+    flatc = jnp.pad(flat, ((0, pad), (0, 0))).reshape(nch, chunk, -1)
+
+    def step(acc, args):
+        sg, fl = args
+        oh = (sg[:, None] == iota[None, :]).astype(fl.dtype)
+        return acc + jax.lax.dot_general(oh, fl, dn), None
+
+    acc0 = jnp.zeros((num_segments, flat.shape[1]), flat.dtype) \
+        + 0.0 * flat[0, 0]
+    out, _ = jax.lax.scan(step, acc0, (segc, flatc))
     return out.reshape((num_segments,) + data.shape[1:])
 
 
@@ -302,17 +318,35 @@ def _camera_rotations(cam, prob: BAProblem):
 
 
 def _expand_cams(prob: BAProblem, *tables):
-    """Per-camera tables [C, k_i] -> per-observation rows [O, k_i], as ONE
-    one-hot MXU matmul instead of per-observation gathers (TPU gathers run
+    """Per-camera tables [C, k_i] -> per-observation rows [O, k_i], as
+    one-hot MXU matmuls instead of per-observation gathers (TPU gathers run
     ~10-40 M rows/s and were the dominant cost of the linearization at
-    O~500k; the [O,C]x[C,Σk] dot streams at full bandwidth)."""
+    O~500k; the [O,C]x[C,Σk] dot streams at full bandwidth).  Chunked over
+    observations when the one-hot exceeds the memory budget (the
+    512-camera / multi-million-observation regime)."""
     C = tables[0].shape[0]
     widths = [int(np.prod(t.shape[1:])) for t in tables]
     flat = jnp.concatenate([t.reshape(C, -1) for t in tables], axis=1)
     iota = jnp.arange(C, dtype=prob.obs_cam.dtype)
-    onehot = (prob.obs_cam[:, None] == iota[None, :]).astype(flat.dtype)
-    rows = jax.lax.dot_general(onehot, flat, (((1,), (0,)), ((), ())),
-                               precision=jax.lax.Precision.HIGHEST)
+    dn = (((1,), (0,)), ((), ()))
+    O = prob.obs_cam.shape[0]
+    chunk = max(1, _ONEHOT_BUDGET // max(C, 1))
+    if O <= chunk:
+        onehot = (prob.obs_cam[:, None] == iota[None, :]).astype(flat.dtype)
+        rows = jax.lax.dot_general(onehot, flat, dn,
+                                   precision=jax.lax.Precision.HIGHEST)
+    else:
+        nch = -(-O // chunk)
+        pad = nch * chunk - O
+        segc = jnp.pad(prob.obs_cam, (0, pad)).reshape(nch, chunk)
+
+        def step(_, sg):
+            oh = (sg[:, None] == iota[None, :]).astype(flat.dtype)
+            return None, jax.lax.dot_general(
+                oh, flat, dn, precision=jax.lax.Precision.HIGHEST)
+
+        _, rows = jax.lax.scan(step, None, segc)
+        rows = rows.reshape(nch * chunk, -1)[:O]
     out = []
     off = 0
     for t, k in zip(tables, widths):

@@ -42,15 +42,20 @@ def _pallas_eligible(nq: int, nd: int, itemsize: int = 4) -> bool:
     """Trace-time gate for the fused Pallas 2-NN (matching_pallas.py):
     TPU backend, tile-aligned shapes, db small enough to live in VMEM.
 
-    On by default everywhere with a TPU backend, including the axon tunnel:
-    round 1 gated it off there after measuring per-process compile-cache
-    misses for the Mosaic custom call, but the cache key is deterministic
-    across processes on the current jaxlib (verified: identical component
-    hashes in separate processes; a warm-cache fresh process loads in
-    ~1.5 s).  BUNDLER_NO_PALLAS_MATCH=1 disables it."""
+    On by default on local TPU hardware.  Off by default on the axon
+    remote-TPU tunnel: the compile-cache key IS deterministic across
+    processes (verified component-by-component, contrary to round 1's
+    attribution), but the remote service pays a per-process executable
+    load of 1.5-400 s per program (eviction-dependent), and the big
+    vmapped Mosaic program stalled a full bench run past 28 minutes.  On
+    local hardware none of that exists.  BUNDLER_PALLAS_MATCH=1 forces it
+    on through the tunnel; BUNDLER_NO_PALLAS_MATCH=1 disables everywhere."""
     if os.environ.get("BUNDLER_NO_PALLAS_MATCH"):
         return False
     if jax.default_backend() == "cpu":
+        return False
+    if ("axon" in (jax.config.jax_platforms or "")
+            and not os.environ.get("BUNDLER_PALLAS_MATCH")):
         return False
     from .matching_pallas import BD, TQ
     return (nq % TQ == 0 and nd % BD == 0

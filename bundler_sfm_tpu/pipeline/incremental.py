@@ -31,7 +31,9 @@ from bundler_sfm_tpu.config import BundlerConfig
 from bundler_sfm_tpu.io.bundlefile import BundleCamera, BundleFile, BundlePoint
 from bundler_sfm_tpu.io.plyfile import write_points_ply
 from bundler_sfm_tpu.io.bundlefile import write_bundle_file
-from bundler_sfm_tpu.ops.ba import CNP, build_problem, run_ba
+from bundler_sfm_tpu.ops.ba import (CNP, build_cam_obs_table,
+                                    build_problem,
+                                    run_ba_outlier_loop)
 from bundler_sfm_tpu.ops.essential import pose_to_center
 from bundler_sfm_tpu.ops.lm import (camera_refine, camera_refine_trim,
                                     camera_refine_trim_batch)
@@ -322,7 +324,6 @@ def run_sfm(recon: Reconstruction, scene: Scene,
     marshals the problem once and applies the removal bookkeeping once,
     instead of re-gathering per pass.  The outer host `while` only re-enters
     if the device hit its pass cap with outliers still above the floor."""
-    from bundler_sfm_tpu.ops.ba import build_cam_obs_table, run_ba_outlier_loop
     cfg = scene.config
     MIN_POINTS, MIN_OUTLIERS = cfg.sfm_min_points, cfg.sfm_min_outliers
     MAX_PASSES = 8
