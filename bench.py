@@ -24,7 +24,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 KEYS_PER_IMAGE = 2048
 NUM_IMAGES = 24
-TPU_BATCH = 276
+TPU_BATCH = int(os.environ.get("BENCH_TPU_BATCH", "276"))
 CPU_PAIRS = 2          # kd-tree pairs measured, rate extrapolated
 
 
