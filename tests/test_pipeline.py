@@ -260,3 +260,21 @@ def test_observability_outputs(rng, tmp_path, capsys):
     # Bin fractions for one camera sum to ~1.
     fracs = [float(ln.split("[")[2].rstrip("]")) for ln in hist[:10]]
     assert abs(sum(fracs) - 1.0) < 0.01
+
+
+def test_dispatch_count_collapsed(rng, tmp_path):
+    """The fused-loop driver keeps a small reconstruction to a handful of
+    device dispatches (round-1 ran ~500 per reconstruction; the telemetry
+    counter guards the collapse)."""
+    from bundler_sfm_tpu.utils import get_telemetry
+    scene, syn = make_pipeline_scene(
+        rng, num_cams=4, num_pts=150,
+        seed_cfg=default_pipeline_config(
+            fmatrix_rounds=256, homography_rounds=64, projection_rounds=256,
+            sfm_max_iters=30))
+    get_telemetry().reset()
+    compute_geometric_constraints(scene, seed=3)
+    recon = bundle_adjust_fast(scene, seed=5)
+    assert recon.num_cameras == 4
+    n = get_telemetry().counters.get("dispatches", 0)
+    assert 0 < n <= 30, f"dispatches per reconstruction: {n}"
