@@ -23,8 +23,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 KEYS_PER_IMAGE = 2048
-NUM_IMAGES = 24
-TPU_BATCH = int(os.environ.get("BENCH_TPU_BATCH", "276"))
+NUM_IMAGES = int(os.environ.get("BENCH_NUM_IMAGES", "24"))
+_DEF_PAIRS = NUM_IMAGES * (NUM_IMAGES - 1) // 2
+TPU_BATCH = int(os.environ.get("BENCH_TPU_BATCH", str(_DEF_PAIRS)))
+BLOCK = int(os.environ.get("BENCH_BLOCK", str(KEYS_PER_IMAGE)))
 CPU_PAIRS = 2          # kd-tree pairs measured, rate extrapolated
 
 
@@ -45,7 +47,7 @@ def bench_tpu(descs, pairs):
     import jax
     from bundler_sfm_tpu.ops.matching import DescriptorTable
 
-    table = DescriptorTable(descs, block=KEYS_PER_IMAGE)
+    table = DescriptorTable(descs, block=BLOCK)
     # Warmup / compile — on REVERSED pair order so the timed run below is
     # not an identical (executable, inputs) call: the axon client memoizes
     # those and a memoized replay measures nothing.

@@ -13,10 +13,11 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
+                      os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__)))), ".jax_cache"))
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 import numpy as np
 
@@ -62,6 +63,10 @@ def main():
 
     print("platform:", jax.devices()[0].platform, flush=True)
     sizes = [(8, 2048, 8), (16, 8192, 8), (32, 32768, 8), (64, 65536, 8)]
+    if len(sys.argv) > 1:
+        # e.g. "64,65536,8 128,131072,8"
+        sizes = [tuple(int(v) for v in s.split(","))
+                 for s in sys.argv[1:]]
     for (C, P, V) in sizes:
         R0, cam0, pts0, oc, op, oxy = synthetic(C, P, V)
         prob = build_problem(R0, cam0, pts0, oc, op, oxy,

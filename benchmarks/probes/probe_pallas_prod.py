@@ -15,8 +15,8 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
+                      os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__)))), ".jax_cache"))
 
 import numpy as np
 

@@ -253,6 +253,53 @@ def _match_pairs_from_table(table, counts, pi, pj, ratio_sq, block):
     return jax.vmap(one)(pi, pj)
 
 
+def _match_one_masked(qdesc, dbdesc, qcount, dbcount, ratio_sq, block):
+    """One pair: 2-NN + ratio test + on-device keep-first dedup, returned as
+    a MASKED nearest-neighbor row: out[q] = matched db index, or -1.
+
+    Wire-optimal for slow host links: one int16 [K] row per pair (2 bytes
+    per query instead of 4 per compacted match slot) and NO on-device
+    argsort/compaction — the host recovers (idx1, idx2) with one nonzero
+    scan, in ascending idx1 order exactly like the compact path."""
+    d0, i0, d1 = _two_nn_best(qdesc, dbdesc, dbcount, block)
+    acc = _ratio_accept(d0, d1, qcount, ratio_sq)
+    nq = acc.shape[0]
+    K = dbdesc.shape[0]
+    qidx = jnp.arange(nq, dtype=jnp.int32)
+    claimer = jax.ops.segment_min(jnp.where(acc, qidx, nq), i0,
+                                  num_segments=K)
+    keep = acc & (claimer[i0] == qidx)
+    return jnp.where(keep, i0, -1).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _match_pairs_from_table_masked(table, counts, pi, pj, ratio_sq, block):
+    """Batched masked-row matcher against an HBM-resident table (the
+    transfer-lean sibling of `_match_pairs_from_table_compact`)."""
+    def one(i, j):
+        return _match_one_masked(table[i], table[j], counts[i], counts[j],
+                                 ratio_sq, block)
+    return jax.vmap(one)(pi, pj)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "mesh"))
+def _match_pairs_from_table_masked_sharded(table, counts, pi, pj, ratio_sq,
+                                           block, mesh):
+    """Pair batch sharded over the mesh, table replicated (masked-row
+    output)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    axis = mesh.axis_names[0]
+
+    def local(t, c, a, b):
+        return _match_pairs_from_table_masked(t, c, a, b, ratio_sq, block)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(axis), P(axis)),
+                   out_specs=P(axis))
+    return fn(table, counts, pi, pj)
+
+
 def _match_one_compact(qdesc, dbdesc, qcount, dbcount, ratio_sq, block,
                        max_out, out_dtype=jnp.int32):
     """One pair: 2-NN + ratio test + on-device keep-first dedup
@@ -353,10 +400,14 @@ class DescriptorTable:
         # inside one chip's HBM while amortizing dispatch latency (~80 ms on
         # the tunnel) over the whole batch.
         out: Dict[Tuple[int, int], np.ndarray] = {}
-        max_out = min(max_out, self.table.shape[1])
-        # int16 halves the device->host transfer when indices fit (the key
-        # dimension is padded to `block`, typically 2048 << 32768).
-        out_dtype = jnp.int16 if self.table.shape[1] <= 32767 else jnp.int32
+        K = self.table.shape[1]
+        # Masked-row wire format when indices fit int16: one [K] row per
+        # pair (2 bytes/query, no device argsort, no match cap) — half the
+        # transfer of the compacted [max_out, 2] format.  Falls back to the
+        # compact int32 format for huge key counts.
+        masked = K <= 32767
+        if not masked:
+            max_out = min(max_out, K)
         if self.mesh is not None:
             # Pad the batch to a multiple of the mesh size for even shards.
             D = self.mesh.devices.size
@@ -369,20 +420,38 @@ class DescriptorTable:
                 chunk.append(chunk[0])
             pi = jnp.asarray(np.array([i for i, _ in chunk], np.int32))
             pj = jnp.asarray(np.array([j for _, j in chunk], np.int32))
-            if self.mesh is not None:
+            if masked:
+                if self.mesh is not None:
+                    m = _match_pairs_from_table_masked_sharded(
+                        self.table, self.counts, pi, pj,
+                        jnp.float32(ratio * ratio), self.block, self.mesh)
+                else:
+                    m = _match_pairs_from_table_masked(
+                        self.table, self.counts, pi, pj,
+                        jnp.float32(ratio * ratio), self.block)
+                results.append((chunk[:n_real], m, None))
+            elif self.mesh is not None:
                 m, cnt = _match_pairs_from_table_compact_sharded(
                     self.table, self.counts, pi, pj,
                     jnp.float32(ratio * ratio), self.block, max_out,
-                    out_dtype, self.mesh)
+                    jnp.int32, self.mesh)
+                results.append((chunk[:n_real], m, cnt))
             else:
                 m, cnt = _match_pairs_from_table_compact(
                     self.table, self.counts, pi, pj,
                     jnp.float32(ratio * ratio), self.block, max_out,
-                    out_dtype)
-            results.append((chunk[:n_real], m, cnt))
+                    jnp.int32)
+                results.append((chunk[:n_real], m, cnt))
         # Fetch after all batches are enqueued (overlaps device + transfer).
         for chunk, m, cnt in results:
             m = np.asarray(m)
+            if cnt is None:
+                for p, (i, j) in enumerate(chunk):
+                    idx1 = np.nonzero(m[p] >= 0)[0].astype(np.int32)
+                    if len(idx1) >= min_matches:
+                        out[(i, j)] = np.stack(
+                            [idx1, m[p, idx1].astype(np.int32)], axis=1)
+                continue
             cnt = np.asarray(cnt)
             for p, (i, j) in enumerate(chunk):
                 mm = m[p, :cnt[p]].astype(np.int32)  # already deduped on device
