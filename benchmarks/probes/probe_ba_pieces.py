@@ -19,14 +19,34 @@ from probe_ba_scaling import synthetic
 
 
 def timeit(fn, *args, n=10):
-    out = fn(*args)
-    for leaf in __import__("jax").tree_util.tree_leaves(out):
+    """Time n calls with PERTURBED float inputs each call — the axon client
+    memoizes identical (executable, inputs) pairs, so timing identical calls
+    measures nothing through the tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    def perturbed(i):
+        eps = np.float32(1e-9) * (i + 1)
+        return [jnp.asarray(a) + eps if (hasattr(a, "dtype")
+                                         and jnp.issubdtype(a.dtype,
+                                                            jnp.floating))
+                else a for a in args]
+
+    # Device-side perturbation (jnp add on device arrays): variants stay
+    # resident, no host re-upload in the timed loop.
+    variants = [perturbed(i) for i in range(n)]
+    for v in variants:
+        for a in v:
+            if hasattr(a, "block_until_ready"):
+                a.block_until_ready()
+    out = fn(*variants[0])
+    for leaf in jax.tree_util.tree_leaves(out):
         np.asarray(leaf)
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    for leaf in __import__("jax").tree_util.tree_leaves(out):
-        np.asarray(leaf)
+    outs = [fn(*v) for v in variants]
+    for o in outs:
+        for leaf in jax.tree_util.tree_leaves(o):
+            np.asarray(leaf)
     return (time.perf_counter() - t0) / n
 
 

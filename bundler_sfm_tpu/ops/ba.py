@@ -120,6 +120,30 @@ class BAResult(NamedTuple):
 # Problem construction (host side)
 # --------------------------------------------------------------------------
 
+def _slot_within(obs_pt: np.ndarray) -> np.ndarray:
+    """k-th observation of its point, in input order (host, vectorized)."""
+    obs_pt = np.asarray(obs_pt, dtype=np.int64)
+    order = np.argsort(obs_pt, kind="stable")
+    sorted_pt = obs_pt[order]
+    counts = np.bincount(sorted_pt) if len(sorted_pt) else np.zeros(0, int)
+    start = np.concatenate([[0], np.cumsum(counts)[:-1]]) \
+        if len(counts) else np.zeros(0, int)
+    within = np.arange(len(obs_pt)) - start[sorted_pt] \
+        if len(obs_pt) else np.zeros(0, int)
+    out = np.empty(len(obs_pt), dtype=np.int64)
+    out[order] = within
+    return out
+
+
+def slot_ids(obs_pt: np.ndarray, max_views: int) -> np.ndarray:
+    """Flat slot-layout row of each observation: p·M + within-point index —
+    the layout build_problem stores obs arrays in.  Use to map flat
+    observation results (e.g. BAOutlierResult.obs_valid) back to the
+    caller's original observation order."""
+    obs_pt = np.asarray(obs_pt, dtype=np.int64)
+    return obs_pt * max_views + _slot_within(obs_pt)
+
+
 def build_problem(
     R0: np.ndarray, cam0: np.ndarray,
     pts0: np.ndarray,
@@ -141,12 +165,15 @@ def build_problem(
     param_scale: Optional[np.ndarray] = None,  # [9]; default f/k scaling
     dtype=np.float64,
 ) -> BAProblem:
-    """Pad + mask a host-side problem into a static-shape BAProblem."""
+    """Pad + mask a host-side problem into a static-shape BAProblem.
+
+    Observations are stored in SLOT LAYOUT [Pp·M] (see below); `pad_obs` is
+    accepted for backward compatibility but ignored — the observation
+    padding is implied by (pad_pts, max_views)."""
     C, P, O = len(cam0), len(pts0), len(obs_cam)
     Cp = pad_cams or C
     Pp = pad_pts or P
-    Op = pad_obs or O
-    assert Cp >= C and Pp >= P and Op >= O
+    assert Cp >= C and Pp >= P
 
     def padc(x, n, shape_tail=()):
         out = np.zeros((n,) + shape_tail, dtype=dtype)
@@ -180,27 +207,31 @@ def build_problem(
     pt = padc(pt_constraints if pt_constraints is not None
               else np.zeros((P, 3)), Pp, (3,))
 
-    ocam = np.zeros(Op, dtype=np.int32)
-    ocam[:O] = obs_cam
-    opt = np.zeros(Op, dtype=np.int32)
-    opt[:O] = obs_pt
-    oxy = padc(obs_xy, Op, (2,))
-    ovalid = np.zeros(Op, dtype=bool)
-    ovalid[:O] = True
-
-    # Per-point view table.
-    counts = np.bincount(opt[:O], minlength=Pp)
+    # SLOT LAYOUT: observation o of point p lives at flat row p·M + k
+    # (k = running index within the point's views), padded rows invalid.
+    # Every [O]->[P,M] regrouping in the LM iteration is then a free
+    # reshape and every [P]->[O] expansion a broadcast — the TPU gathers
+    # (~10-40 M rows/s) that dominated the flat-layout iteration at
+    # O ≈ 10^5-10^6 disappear entirely.  O_pad = Pp·M; real-vs-padded obs
+    # are tracked by obs_valid (which the fused outlier loop also uses for
+    # removals; views_mask keeps the static real-slot set).
+    obs_pt = np.asarray(obs_pt, dtype=np.int64)
+    counts = np.bincount(obs_pt, minlength=Pp) if O else np.zeros(Pp, int)
     M = max_views or max(1, int(counts.max()) if O else 1)
-    if counts.max() > M:
+    if O and counts.max() > M:
         raise ValueError(f"point has {counts.max()} views > max_views={M}")
-    views_obs = np.zeros((Pp, M), dtype=np.int32)
-    views_mask = np.zeros((Pp, M), dtype=bool)
-    slot = np.zeros(Pp, dtype=np.int64)
-    for o in range(O):
-        p = opt[o]
-        views_obs[p, slot[p]] = o
-        views_mask[p, slot[p]] = True
-        slot[p] += 1
+    sid = obs_pt * M + _slot_within(obs_pt) if O else \
+        np.zeros(0, dtype=np.int64)
+    Op = Pp * M
+    ocam = np.zeros(Op, dtype=np.int32)
+    ocam[sid] = obs_cam
+    opt = np.repeat(np.arange(Pp, dtype=np.int32), M)
+    oxy = np.zeros((Op, 2), dtype=dtype)
+    oxy[sid] = obs_xy
+    ovalid = np.zeros(Op, dtype=bool)
+    ovalid[sid] = True
+    views_obs = np.arange(Op, dtype=np.int32).reshape(Pp, M)
+    views_mask = ovalid.reshape(Pp, M).copy()
 
     return BAProblem(
         R0=jnp.asarray(R0p), cam0=jnp.asarray(cam0p),
@@ -272,13 +303,23 @@ def _segsum_onehot(data, seg, num_segments: int):
 
 
 def _point_sum(data, prob: BAProblem):
-    """Per-point sum of per-observation data via the padded view table —
-    a gather + masked reduce, no scatter at all (the [P, M] views_obs table
-    already inverts obs_pt)."""
-    g = data[prob.views_obs]                        # [P, M, ...]
+    """Per-point sum of per-observation data — in the slot layout this is a
+    free reshape + masked reduce over the M view slots (no gather, no
+    scatter)."""
+    Pp, M = prob.views_mask.shape
+    g = data.reshape((Pp, M) + data.shape[1:])
     mask = prob.views_mask
     mask = mask.reshape(mask.shape + (1,) * (g.ndim - 2))
     return jnp.sum(g * mask, axis=1)
+
+
+def _pt_expand(x, prob: BAProblem):
+    """Per-point table [P, ...] -> per-observation rows [P·M, ...]: the
+    slot-layout replacement for the x[obs_pt] gather — a broadcast along
+    the view-slot axis, pure streaming writes."""
+    Pp, M = prob.views_mask.shape
+    return jnp.broadcast_to(
+        x[:, None], (Pp, M) + x.shape[1:]).reshape((Pp * M,) + x.shape[1:])
 
 
 def _inv3(V):
@@ -359,7 +400,7 @@ def _predict_obs(cam, pts, R, prob: BAProblem):
     """Vectorized Snavely projection of every observation given cached
     per-camera rotations R [C,3,3].  Returns pred [O,2] and p [O,3]."""
     co, Ro = _expand_cams(prob, cam, R)                   # [O,9], [O,3,3]
-    v = pts[prob.obs_pt] - co[:, 0:3]                     # [O,3]
+    v = _pt_expand(pts, prob) - co[:, 0:3]                # [O,3]
     p = jnp.sum(Ro * v[:, None, :], axis=2)               # [O,3]
     f = co[:, 6:7]
     n = p[:, 0:2] / p[:, 2:3]
@@ -387,7 +428,7 @@ def _linearize_obs(cam, pts, prob: BAProblem):
     """
     R, dRdw = _camera_rotations(cam, prob)
     co, Ro, dRo = _expand_cams(prob, cam, R, dRdw)  # [O,9],[O,3,3],[O,3,3,3]
-    v = pts[prob.obs_pt] - co[:, 0:3]
+    v = _pt_expand(pts, prob) - co[:, 0:3]
     p = jnp.sum(Ro * v[:, None, :], axis=2)
     f = co[:, 6]
     k1 = co[:, 7]
@@ -546,14 +587,14 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
     dtype = Y.dtype
 
     # rhs_off = − Σ_obs Y_o g_p[pt(o)]  (per camera).
-    gpo = g_p[prob.obs_pt]
+    gpo = _pt_expand(g_p, prob)
     contrib = jnp.sum(Y * gpo[:, None, :], axis=2)
     rhs_off = -_segsum_onehot(contrib, prob.obs_cam, C)
 
     if P * C <= _PC_TABLE_BUDGET:
-        cam_of_slot = prob.obs_cam[prob.views_obs]      # [P,M]
-        Yp = Y[prob.views_obs]                          # [P,M,9,3]
-        Wp = W[prob.views_obs]                          # [P,M,9,3]
+        cam_of_slot = prob.obs_cam.reshape(P, M)        # [P,M]
+        Yp = Y.reshape(P, M, CNP, PNP)                  # [P,M,9,3]
+        Wp = W.reshape(P, M, CNP, PNP)                  # [P,M,9,3]
         maskp = prob.views_mask                         # [P,M]
 
         iota_c = jnp.arange(C, dtype=cam_of_slot.dtype)
@@ -616,9 +657,9 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
 
     # Fallback (dense camera tables too large): scatter-add over view-slot
     # rows, peak memory O(P·M·81).
-    cam_of_slot = prob.obs_cam[prob.views_obs]          # [P,M]
-    Yp = Y[prob.views_obs]                              # [P,M,9,3]
-    Wp = W[prob.views_obs]                              # [P,M,9,3]
+    cam_of_slot = prob.obs_cam.reshape(P, M)            # [P,M]
+    Yp = Y.reshape(P, M, CNP, PNP)                      # [P,M,9,3]
+    Wp = W.reshape(P, M, CNP, PNP)                      # [P,M,9,3]
     maskp = prob.views_mask                             # [P,M]
     S_off = jnp.zeros((C * C, CNP, CNP), dtype=dtype) + 0.0 * Y[0, 0, 0]
 
@@ -707,8 +748,12 @@ def solve_schur_cg(S, rhs, max_iters: int = 100, tol: float = 1e-8):
 
 
 def back_substitute(Vinv, W, g_p, dcam, prob: BAProblem):
-    """dp_i = V_i⁻¹ (g_p_i − Σ_{o∈views(i)} W_oᵀ dcam[cam(o)])."""
-    wc = (W * dcam[prob.obs_cam][:, :, None]).sum(1)      # [O,3]
+    """dp_i = V_i⁻¹ (g_p_i − Σ_{o∈views(i)} W_oᵀ dcam[cam(o)]).
+
+    The per-observation camera-step rows come from the one-hot MXU
+    expansion (`_expand_cams`) rather than a [O]-row gather."""
+    dco, = _expand_cams(prob, dcam)
+    wc = (W * dco[:, :, None]).sum(1)                     # [O,3]
     acc = _point_sum(wc, prob)
     x = g_p - acc
     return (Vinv * x[:, None, :]).sum(2)
@@ -735,7 +780,7 @@ def _schur_matvec_sharded(x, U_aug, Y, W, prob: BAProblem, axis: str):
     C²·81·4-byte S_off reduction, and no replicated dense factorization."""
     t = jnp.einsum("oab,oa->ob", W, x[prob.obs_cam])
     s = _point_sum(t, prob)
-    u = jnp.einsum("oab,ob->oa", Y, s[prob.obs_pt])
+    u = jnp.einsum("oab,ob->oa", Y, _pt_expand(s, prob))
     c = jax.lax.psum(_segsum_onehot(u, prob.obs_cam, x.shape[0]), axis)
     return jnp.einsum("jab,jb->ja", U_aug, x) - c
 
@@ -815,12 +860,13 @@ def _lm_loop(prob: BAProblem, max_iters: int, fix_points: bool,
         U_aug = U + jax.vmap(jnp.diag)(frozen) + mu * eyec[None]
         V_aug = V + (mu + 1e-12) * eyep[None]
         Vinv = _inv3(V_aug)
-        Vo = Vinv[prob.obs_pt]
+        Vo = _pt_expand(Vinv, prob)
         Y = (W[:, :, :, None] * Vo[:, None, :, :]).sum(2)
         C = U_aug.shape[0]
         if solver == "cg" and axis is not None:
             # Matrix-free distributed PCG: never materializes S_off.
-            contrib = jnp.sum(Y * g_p[prob.obs_pt][:, None, :], axis=2)
+            contrib = jnp.sum(Y * _pt_expand(g_p, prob)[:, None, :],
+                              axis=2)
             rhs = g_c - jax.lax.psum(
                 _segsum_onehot(contrib, prob.obs_cam, C), axis)
             dcam = _solve_schur_cg_sharded(U_aug, Y, W, rhs, prob, axis)
@@ -937,22 +983,31 @@ class BAOutlierResult(NamedTuple):
     initial_cost: jnp.ndarray  # first pass initial cost
 
 
-def build_cam_obs_table(obs_cam: np.ndarray, num_cams: int,
-                        pad_slots: Optional[int] = None
+def build_cam_obs_table(obs_cam: np.ndarray, obs_pt: np.ndarray,
+                        num_cams: int,
+                        pad_slots: Optional[int] = None,
+                        max_views: Optional[int] = None,
                         ) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side static inversion of obs_cam: [C, S] observation indices per
-    camera + mask, the per-camera analogue of BAProblem.views_obs.  Feeds the
-    per-camera reprojection statistics (`src/Bundle.cpp:659-850`) on device."""
+    """Host-side static inversion of obs_cam: [C, S] SLOT-LAYOUT observation
+    rows per camera + mask (ids match build_problem's p·M+k layout — pass
+    the same `max_views`, or leave None to use the per-point max like
+    build_problem does).  Feeds the per-camera reprojection statistics
+    (`src/Bundle.cpp:659-850`) on device."""
+    obs_cam = np.asarray(obs_cam)
+    obs_pt = np.asarray(obs_pt, dtype=np.int64)
+    pcounts = np.bincount(obs_pt) if len(obs_pt) else np.zeros(0, int)
+    M = max_views or max(1, int(pcounts.max()) if len(obs_pt) else 1)
+    sid = slot_ids(obs_pt, M)
     counts = np.bincount(obs_cam, minlength=num_cams)
     S = pad_slots or max(1, int(counts.max()))
-    if counts.max() > S:
+    if len(obs_cam) and counts.max() > S:
         raise ValueError(f"camera has {counts.max()} obs > pad_slots={S}")
     table = np.zeros((num_cams, S), dtype=np.int32)
     mask = np.zeros((num_cams, S), dtype=bool)
     order = np.argsort(obs_cam, kind="stable")
     slot = np.concatenate([np.arange(c) for c in counts]) \
         if len(obs_cam) else np.zeros(0, np.int64)
-    table[obs_cam[order], slot] = order
+    table[obs_cam[order], slot] = sid[order]
     mask[obs_cam[order], slot] = True
     return table, mask
 
@@ -1039,14 +1094,15 @@ def _outlier_loop_core(
             cam1 = cam1.at[:, 3:6].set(0.0)
             d, thresh, stats, bins, edges = pass_stats(cam1, pts1, R1, ov)
             bad_obs = ov & (d > thresh[prob.obs_cam])
-            bad_pt = jnp.any(prob.views_mask & bad_obs[prob.views_obs],
-                             axis=1)
+            bad_pt = jnp.any(
+                prob.views_mask
+                & bad_obs.reshape(prob.views_mask.shape), axis=1)
             # Constrained points are kept (src/Bundle.cpp:798-803).
             bad_pt = bad_pt & ~((prob.pt_constrained > 0)
                                 & (prob.pt_weight > 0))
             n_o = _psum(jnp.sum(bad_pt), axis).astype(jnp.int32)
             if remove_outliers:
-                ov1 = ov & ~bad_pt[prob.obs_pt]
+                ov1 = ov & ~_pt_expand(bad_pt, prob)
                 removed1 = removed | bad_pt
             else:
                 ov1, removed1 = ov, removed
@@ -1056,8 +1112,9 @@ def _outlier_loop_core(
             return (cam1, pts1, R1, ov1, removed1, n_o, stats, bins, edges,
                     iters, avg1, cost, cost0)
 
-        n_live = _psum(jnp.sum(jnp.any(prob.views_mask & ov[prob.views_obs],
-                                       axis=1)), axis)
+        n_live = _psum(jnp.sum(jnp.any(
+            prob.views_mask & ov.reshape(prob.views_mask.shape),
+            axis=1)), axis)
         ok = n_live >= min_points
         # Run the pass unconditionally and select: ok is False at most once
         # (the too-few-points exit), and value-selects keep branch types

@@ -65,8 +65,10 @@ def shard_problem(
 
     pts_per = int(np.ceil(P_total / num_shards)) if P_total else 1
     pts_pad = pad_pts_per_shard or pts_per
-    counts = np.bincount(shard_of_pt[obs_pt], minlength=num_shards)
-    obs_pad = pad_obs_per_shard or max(1, int(counts.max()))
+    if max_views is None:
+        # All shards must share one M for the stacked slot layout.
+        pc = np.bincount(obs_pt) if len(obs_pt) else np.zeros(0, int)
+        max_views = max(1, int(pc.max()) if len(obs_pt) else 1)
 
     subs = []
     # Camera constraints appear once per shard in build_normal_blocks; scale
@@ -88,7 +90,7 @@ def shard_problem(
                             if pt_constraints is not None else None),
             pt_weight=pt_weight,
             pad_cams=pad_cams,
-            pad_pts=pts_pad, pad_obs=obs_pad, max_views=max_views,
+            pad_pts=pts_pad, max_views=max_views,
             dtype=dtype))
 
     def stack_field(name):
@@ -192,20 +194,24 @@ def run_ba_outlier_loop_sharded(
 
 
 def build_cam_obs_table_sharded(obs_cam: np.ndarray, obs_pt: np.ndarray,
-                                num_shards: int, obs_pad: int,
+                                num_shards: int,
                                 num_cams: int,
+                                pad_pts_per_shard: int,
+                                max_views: int,
                                 pad_slots: Optional[int] = None
                                 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-camera obs table over the ALL-GATHERED layout the sharded outlier
-    loop sees: observation o (owned by shard s at local row l, following
-    shard_problem's round-robin point partition) has global id s·obs_pad+l."""
+    """Per-camera obs table over the ALL-GATHERED slot layout the sharded
+    outlier loop sees: observation o of point p (owned by shard s = p mod D
+    at local point row l = p div D, k-th view of its point) has global id
+    s·(Pp·M) + l·M + k — matching shard_problem's per-shard build_problem
+    slot layout concatenated over shards."""
     obs_cam = np.asarray(obs_cam)
-    obs_pt = np.asarray(obs_pt)
+    obs_pt = np.asarray(obs_pt, dtype=np.int64)
     shard_of = obs_pt % num_shards
-    gids = np.zeros(len(obs_cam), dtype=np.int64)
-    for s in range(num_shards):
-        sel = np.nonzero(shard_of == s)[0]
-        gids[sel] = s * obs_pad + np.arange(len(sel))
+    local_pt = obs_pt // num_shards
+    within = _ba._slot_within(obs_pt)
+    gids = (shard_of * (pad_pts_per_shard * max_views)
+            + local_pt * max_views + within)
     counts = np.bincount(obs_cam, minlength=num_cams)
     S = pad_slots or max(1, int(counts.max()))
     table = np.zeros((num_cams, S), dtype=np.int32)

@@ -403,19 +403,16 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             from bundler_sfm_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(D)
             Pp_s = _bucket(-(-len(live) // D), 64)
-            per_shard = np.bincount(
-                np.asarray(obs_pt, np.int64) % D, minlength=D)
-            Op_s = _bucket(max(1, int(per_shard.max())), 256)
             probS = shard_problem(
                 R0, cam0, pts0, obs_cam, obs_pt, obs_xy, D,
                 est_focal=not cfg.fixed_focal_length,
                 est_distortion=cfg.estimate_distortion,
                 cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
                 pt_constrained=pc_arr, pt_constraints=pc_con, pt_weight=pw,
-                pad_cams=Cp, max_views=Mp, pad_obs_per_shard=Op_s,
+                pad_cams=Cp, max_views=Mp,
                 pad_pts_per_shard=Pp_s, dtype=_dt(cfg))
             cam_obs, cam_obs_mask = build_cam_obs_table_sharded(
-                obs_cam, obs_pt, D, Op_s, Cp, Sp)
+                obs_cam, obs_pt, D, Cp, Pp_s, Mp, Sp)
             with stage("ba"):
                 counter("dispatches")
                 res = run_ba_outlier_loop_sharded(
@@ -428,16 +425,16 @@ def run_sfm(recon: Reconstruction, scene: Scene,
                                        len(live))
         else:
             Pp = _bucket(len(live), 256)
-            Op = _bucket(len(obs_cam), 1024)
             prob = build_problem(
                 R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
                 est_focal=not cfg.fixed_focal_length,
                 est_distortion=cfg.estimate_distortion,
                 cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
                 pt_constrained=pc_arr, pt_constraints=pc_con, pt_weight=pw,
-                pad_cams=Cp, pad_pts=Pp, pad_obs=Op, max_views=Mp,
+                pad_cams=Cp, pad_pts=Pp, max_views=Mp,
                 dtype=_dt(cfg))
-            cam_obs, cam_obs_mask = build_cam_obs_table(obs_cam, Cp, Sp)
+            cam_obs, cam_obs_mask = build_cam_obs_table(obs_cam, obs_pt,
+                                                        Cp, Sp, Mp)
             with stage("ba"):
                 counter("dispatches")
                 res = run_ba_outlier_loop(

@@ -277,7 +277,7 @@ def test_ba_outlier_loop_removes_outliers(rng):
     pts0 = sc.points + rng.normal(size=sc.points.shape) * 0.02
     prob = build_problem(R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
                          est_distortion=False)
-    cam_obs, cam_mask = build_cam_obs_table(obs_cam, C)
+    cam_obs, cam_mask = build_cam_obs_table(obs_cam, obs_pt, C)
     res = run_ba_outlier_loop(
         prob, jnp.asarray(cam_obs), jnp.asarray(cam_mask), max_iters=60,
         min_outliers=2, min_points=8, max_passes=4)
@@ -297,8 +297,11 @@ def test_ba_outlier_loop_removes_outliers(rng):
     assert (stats[0, :, 3] >= 8.0 - 1e-9).all()
     assert (stats[0, :, 3] <= 16.0 + 1e-9).all()
     np.testing.assert_array_equal(hist[0].sum(axis=1), stats[0, :, 0])
-    # Final obs_valid excludes exactly the removed points' observations.
-    ov = np.asarray(res.obs_valid)[:len(obs_cam)]
+    # Final obs_valid excludes exactly the removed points' observations
+    # (slot layout: map flat obs order through slot_ids).
+    from bundler_sfm_tpu.ops.ba import slot_ids
+    M = prob.views_mask.shape[1]
+    ov = np.asarray(res.obs_valid)[slot_ids(obs_pt, M)]
     assert not ov[np.isin(obs_pt, np.nonzero(removed)[0])].any()
 
 
@@ -307,7 +310,10 @@ def test_ba_outlier_loop_single_pass_no_removal(rng):
     sc = Scene(rng, num_cams=3, num_pts=80, noise=0.3)
     prob = make_problem(rng, sc, est_distortion=False)
     obs_cam = np.asarray(prob.obs_cam)
-    cam_obs, cam_mask = build_cam_obs_table(obs_cam, 3)
+    obs_pt = np.asarray(prob.obs_pt)
+    valid = np.asarray(prob.obs_valid)
+    cam_obs, cam_mask = build_cam_obs_table(obs_cam[valid], obs_pt[valid], 3,
+                                            max_views=prob.views_mask.shape[1])
     res = run_ba_outlier_loop(
         prob, jnp.asarray(cam_obs), jnp.asarray(cam_mask), max_iters=40,
         remove_outliers=False, max_passes=4)

@@ -152,14 +152,14 @@ def test_sharded_outlier_loop_matches_single_device(rng):
 
     prob1 = build_problem(R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
                           est_distortion=False)
-    co1, cm1 = build_cam_obs_table(obs_cam, C)
+    co1, cm1 = build_cam_obs_table(obs_cam, obs_pt, C)
     res1 = run_ba_outlier_loop(prob1, jnp.asarray(co1), jnp.asarray(cm1),
                                max_iters=50, min_outliers=2, max_passes=4)
 
     probN = shard_problem(R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
                           num_shards=8, est_distortion=False)
-    obs_pad = probN.obs_cam.shape[1]
-    coN, cmN = build_cam_obs_table_sharded(obs_cam, obs_pt, 8, obs_pad, C)
+    Pp_s, M_s = probN.views_mask.shape[1:]
+    coN, cmN = build_cam_obs_table_sharded(obs_cam, obs_pt, 8, C, Pp_s, M_s)
     resN = run_ba_outlier_loop_sharded(
         probN, jnp.asarray(coN), jnp.asarray(cmN), mesh,
         max_iters=50, min_outliers=2, max_passes=4)
