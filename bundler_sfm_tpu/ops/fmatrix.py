@@ -44,14 +44,21 @@ def fmatrix_residual(F: jnp.ndarray, r: jnp.ndarray, l: jnp.ndarray) -> jnp.ndar
 
 def _closest_rank2(F: jnp.ndarray, essential: bool) -> jnp.ndarray:
     """Rank-2 projection; for essential also force equal singular values
-    (reference `closest_rank2_matrix` / `closest_rank2_matrix_ssv`)."""
-    from bundler_sfm_tpu.ops.svd_utils import svd_small
+    (reference `closest_rank2_matrix` / `closest_rank2_matrix_ssv`).
+
+    The plain-F case needs only the SMALLEST right singular vector v₃
+    (closed-form eigh3x3 of FᵀF): F·v₃ = σ₃·u₃, so the nearest rank-2
+    matrix F − σ₃u₃v₃ᵀ is exactly F(I − v₃v₃ᵀ) — no full SVD recompose,
+    which was the dominant cost of the vmapped RANSAC fit on TPU."""
+    from bundler_sfm_tpu.ops.svd_utils import eigh3x3, svd_small
+    if not essential:
+        FtF = F.T @ F
+        _, V = eigh3x3(FtF)
+        v3 = V[..., :, 0]                      # smallest eigenvector
+        return F - (F @ v3)[..., :, None] * v3[..., None, :]
     U, S, Vt = svd_small(F)
-    if essential:
-        s = 0.5 * (S[0] + S[1])
-        S2 = jnp.array([s, s, 0.0], dtype=F.dtype)
-    else:
-        S2 = jnp.array([S[0], S[1], 0.0], dtype=F.dtype)
+    s = 0.5 * (S[0] + S[1])
+    S2 = jnp.array([s, s, 0.0], dtype=F.dtype)
     return (U * S2[None, :]) @ Vt
 
 

@@ -36,21 +36,25 @@ def cholesky_unrolled(A: jnp.ndarray) -> jnp.ndarray:
     return L
 
 
-def cholesky_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve A x = b for small SPD A [n,n], b [n] — unrolled, any dtype."""
-    n = A.shape[-1]
-    L = cholesky_unrolled(A)
-    # Forward substitution L y = b.
+def cholesky_substitute(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b given the lower Cholesky factor L of A — unrolled
+    forward + back substitution (reuse L across multiple right-hand sides,
+    e.g. inverse iteration)."""
+    n = L.shape[-1]
     y = jnp.zeros_like(b)
     for i in range(n):
         yi = b[i] - (L[i, :i] @ y[:i] if i else 0.0)
         y = y.at[i].set(yi / L[i, i])
-    # Back substitution Lᵀ x = y.
     x = jnp.zeros_like(b)
     for i in reversed(range(n)):
         xi = y[i] - (L[i + 1:, i] @ x[i + 1:] if i + 1 < n else 0.0)
         x = x.at[i].set(xi / L[i, i])
     return x
+
+
+def cholesky_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b for small SPD A [n,n], b [n] — unrolled, any dtype."""
+    return cholesky_substitute(cholesky_unrolled(A), b)
 
 
 def lu_solve(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:

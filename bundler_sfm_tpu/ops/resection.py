@@ -31,9 +31,24 @@ def fit_projection_dlt(X: jnp.ndarray, x: jnp.ndarray,
     (image = -q.xy/q.z).  Solved by smallest eigenvector of AᵀA (12x12).
     """
     w = mask.astype(X.dtype)
-    Xh = jnp.concatenate([X, jnp.ones_like(X[:, :1])], axis=1)  # [N,4]
-    u = x[:, 0:1]
-    v = x[:, 1:2]
+    # Hartley normalization of BOTH sides: the raw-pixel DLT normal matrix
+    # has condition ~1e10, beyond what any fixed-damping smallest-eigenvector
+    # method (and f32 generally) can resolve; normalized it is ~1e3-1e4.
+    count = jnp.maximum(jnp.sum(w), 1.0)
+    cX = jnp.sum(X * w[:, None], axis=0) / count
+    dX = jnp.sqrt(jnp.sum((X - cX) ** 2, axis=1) + 1e-300)
+    sX = jnp.sqrt(jnp.asarray(3.0, X.dtype)) / jnp.maximum(
+        jnp.sum(dX * w) / count, 1e-12)
+    Xn = (X - cX) * sX
+    cx = jnp.sum(x * w[:, None], axis=0) / count
+    dx = jnp.sqrt(jnp.sum((x - cx) ** 2, axis=1) + 1e-300)
+    sx = jnp.sqrt(jnp.asarray(2.0, X.dtype)) / jnp.maximum(
+        jnp.sum(dx * w) / count, 1e-12)
+    xn = (x - cx) * sx
+
+    Xh = jnp.concatenate([Xn, jnp.ones_like(Xn[:, :1])], axis=1)  # [N,4]
+    u = xn[:, 0:1]
+    v = xn[:, 1:2]
     zero = jnp.zeros_like(Xh)
     rows1 = jnp.concatenate([Xh, zero, u * Xh], axis=1)   # [N,12]
     rows2 = jnp.concatenate([zero, Xh, v * Xh], axis=1)
@@ -41,10 +56,23 @@ def fit_projection_dlt(X: jnp.ndarray, x: jnp.ndarray,
     ww = jnp.concatenate([w, w], axis=0)
     Aw = A * ww[:, None]
     AtA = Aw.T @ A
-    # Smallest eigenvector via eigh (symmetric, TPU-friendly).
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[:, 0]
-    return p.reshape(3, 4)
+    # Smallest eigenvector via damped inverse iteration (one unrolled 12x12
+    # Cholesky + a few substitutions) - XLA's iterative eigh dominated the
+    # vmapped 4096-round RANSAC fit on TPU.
+    from bundler_sfm_tpu.ops.svd_utils import smallest_eigvec_psd
+    p = smallest_eigvec_psd(AtA)
+    Pn = p.reshape(3, 4)
+    # Un-normalize: with the NEGATED image convention y ∝ diag(−1,−1,1)·PXh
+    # (D below), ỹ = T2·y ⇒ P = D·T2⁻¹·D·P̃·T3, i.e. T2⁻¹ with its
+    # translation column negated by the D-conjugation.
+    T2inv = jnp.array([[1.0 / sx, 0.0, -cx[0]],
+                       [0.0, 1.0 / sx, -cx[1]],
+                       [0.0, 0.0, 1.0]], dtype=X.dtype)
+    T3 = jnp.concatenate([
+        sX * jnp.concatenate([jnp.eye(3, dtype=X.dtype),
+                              (-cX)[:, None]], axis=1),
+        jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=X.dtype)], axis=0)
+    return T2inv @ Pn @ T3
 
 
 def projection_residual_cheirality(P: jnp.ndarray, X: jnp.ndarray,
