@@ -135,6 +135,11 @@ def main():
             "tpu_seconds": round(tpu_dt, 3),
             "tpu_matches": int(tpu_matches),
             "cpu_kdtree_pairs_per_s": round(cpu_rate, 3) if cpu_rate else None,
+            # Reference KeyMatchFull (capped ANN, approximate) measured at
+            # 118 pairs/s on this dataset/host (BASELINE.md) — the honest
+            # reference-matcher baseline; vs_baseline above uses the exact
+            # scipy kd-tree stand-in.
+            "ref_ann_pairs_per_s": 118.0,
             "ba_obs_iters_per_s": round(ba_rate) if ba_rate else None,
             "ba_seconds_per_lm_iter": round(ba_iter_s, 5) if ba_iter_s
             else None,

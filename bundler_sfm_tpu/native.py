@@ -86,28 +86,26 @@ def build_tracks_native(
     lib = _load()
     if lib is None:
         return None
-    # Node space: unique (img, key) sorted by (img, key).
-    pairs = []
+    # Node space: unique (img, key) encoded as img·2³² + key — int64 sort
+    # order equals (img, key) lexicographic.  Fully vectorized: the previous
+    # per-match Python dict lookups cost ~8 s at 10⁶ matches (128-image
+    # collections); this path is ~10×.
+    src_enc_l, dst_enc_l = [], []
     for (i, j), m in matches.items():
         if len(m):
-            pairs.append(np.stack([np.full(len(m), i, np.int64), m[:, 0]],
-                                  axis=1))
-    if not pairs:
+            src_enc_l.append((np.int64(i) << 32) + m[:, 0].astype(np.int64))
+            dst_enc_l.append((np.int64(j) << 32) + m[:, 1].astype(np.int64))
+    if not src_enc_l:
         return []
-    nodes = np.unique(np.concatenate(pairs), axis=0)  # sorted (img, key)
-    node_id = {(int(a), int(b)): k for k, (a, b) in enumerate(nodes)}
-    # Edges (one direction per dict entry; dict is symmetric already).
-    src, dst = [], []
-    for (i, j), m in matches.items():
-        for a, b in m:
-            u = node_id.get((i, int(a)))
-            v = node_id.get((j, int(b)))
-            if u is not None and v is not None:
-                src.append(u)
-                dst.append(v)
-    src = np.array(src, np.int64)
-    dst = np.array(dst, np.int64)
-    n_nodes = len(nodes)
+    src_enc = np.concatenate(src_enc_l)
+    dst_enc = np.concatenate(dst_enc_l)
+    # The dict is symmetric, so every endpoint appears as a source.
+    nodes_enc = np.unique(src_enc)
+    n_nodes = len(nodes_enc)
+    src = np.searchsorted(nodes_enc, src_enc)
+    dst = np.searchsorted(nodes_enc, dst_enc)
+    ok = nodes_enc[np.minimum(dst, n_nodes - 1)] == dst_enc
+    src, dst = src[ok], dst[ok]
     order = np.argsort(src, kind="stable")
     src_s = src[order]
     dst_s = dst[order]
@@ -116,11 +114,19 @@ def build_tracks_native(
     offsets = np.cumsum(offsets)
     out = np.empty(n_nodes, np.int32)
     n_tracks = lib.build_tracks_bfs(
-        num_images, n_nodes, nodes[:, 0].astype(np.int32),
+        num_images, n_nodes, (nodes_enc >> 32).astype(np.int32),
         offsets.astype(np.int64), dst_s.astype(np.int64), out)
-    tracks: List[List[Tuple[int, int]]] = [[] for _ in range(n_tracks)]
-    for k in range(n_nodes):
-        t = out[k]
-        if t >= 0:
-            tracks[t].append((int(nodes[k, 0]), int(nodes[k, 1])))
+    # Group nodes by track id without a per-node Python loop.
+    keep = out >= 0
+    ids = out[keep]
+    imgs = (nodes_enc[keep] >> 32).astype(np.int64).tolist()
+    keys = (nodes_enc[keep] & 0xFFFFFFFF).astype(np.int64).tolist()
+    grouped = np.argsort(ids, kind="stable")
+    sorted_ids = ids[grouped]
+    starts = np.searchsorted(sorted_ids, np.arange(n_tracks))
+    ends = np.searchsorted(sorted_ids, np.arange(n_tracks), side="right")
+    g = grouped.tolist()
+    tracks: List[List[Tuple[int, int]]] = [
+        [(imgs[g[k]], keys[g[k]]) for k in range(a, b)]
+        for a, b in zip(starts.tolist(), ends.tolist())]
     return tracks

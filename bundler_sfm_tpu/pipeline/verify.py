@@ -242,18 +242,20 @@ def compute_geometric_constraints(scene: Scene, seed: int = 0,
     if snapshot_dir is not None:
         write_match_table(scene.num_images, scene.matches, ".ransac",
                           snapshot_dir)
-    scene.matches = symmetrize(scene.matches)
-    try:
-        from bundler_sfm_tpu import native
-        tracks = native.build_tracks_native(scene.matches, scene.num_images)
-    except Exception:
-        tracks = None
-    scene.tracks = tracks if tracks is not None else \
-        build_tracks(scene.matches, scene.num_images)
-    # Filter track length like the reference's min/max_track_views gates.
-    scene.tracks = [t for t in scene.tracks
-                    if cfg.min_track_views <= len(t) <= cfg.max_track_views]
-    vp, vk, kt = tracks_to_image_tables(scene.tracks, scene.num_images)
+    with stage("verify_tracks"):
+        scene.matches = symmetrize(scene.matches)
+        try:
+            from bundler_sfm_tpu import native
+            tracks = native.build_tracks_native(scene.matches,
+                                                scene.num_images)
+        except Exception:
+            tracks = None
+        scene.tracks = tracks if tracks is not None else \
+            build_tracks(scene.matches, scene.num_images)
+        # Filter track length like the reference's min/max_track_views gates.
+        scene.tracks = [t for t in scene.tracks
+                        if cfg.min_track_views <= len(t) <= cfg.max_track_views]
+        vp, vk, kt = tracks_to_image_tables(scene.tracks, scene.num_images)
     scene.visible_points = vp
     scene.visible_keys = vk
     scene.key_track = kt
