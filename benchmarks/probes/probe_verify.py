@@ -116,10 +116,37 @@ def main():
             return jnp.max(jnp.sum(ok, 1))
         return jnp.sum(jax.vmap(one)(a, b, F, jnp.asarray(nv)))
 
+    @jax.jit
+    def sample_ata_only(a, b):
+        from bundler_sfm_tpu.ops.ransac import hartley_normalize
+
+        def ata8(r, l):
+            m = jnp.ones(8, bool)
+            rn, Tr = hartley_normalize(r, m)
+            ln, Tl = hartley_normalize(l, m)
+            u, v = ln[:, 0], ln[:, 1]
+            up, vp = rn[:, 0], rn[:, 1]
+            A = jnp.stack([u * up, v * up, up, u * vp, v * vp, vp, u, v], 1)
+            return jnp.sum(A.T @ A)
+
+        def one(key, p, q, n):
+            samples = rs.sample_indices(key, R, 8, n, p.shape[0])
+            return jnp.sum(jax.vmap(ata8)(q[samples], p[samples]))
+        return jnp.sum(jax.vmap(one)(keys, a, b, jnp.asarray(nv)))
+
+    @jax.jit
+    def sample_only(a, b):
+        def one(key, p, q, n):
+            samples = rs.sample_indices(key, R, 8, n, p.shape[0])
+            return jnp.sum(q[samples]) + jnp.sum(p[samples])
+        return jnp.sum(jax.vmap(one)(keys, a, b, jnp.asarray(nv)))
+
     Fr = rng.normal(size=(B, R, 3, 3)).astype(np.float32)
     timed("full estimate (fit+score)", full)
     timed("sampling+fit (with rank2)", fit_only)
     timed("sampling+fit (no rank2)", fit_no_rank2)
+    timed("sample+normalize+AtA only", sample_ata_only)
+    timed("sample gather only", sample_only)
     timed("score only", score_only, jnp.asarray(Fr))
 
 

@@ -262,10 +262,10 @@ _ONEHOT_BUDGET = 1 << 27
 _PC_TABLE_BUDGET = 1 << 28
 
 # Max f32 elements per dense chunk table in the factorized Schur assembly
-# (two [C, B, 9, 3] tables live at once; 1 << 26 each = 256 MB each — larger
-# chunks mean fewer sequential scan steps, which dominated the 256-camera
-# assembly at the previous 1 << 25).
-_SCHUR_CHUNK_BUDGET = 1 << 26
+# (two [C, B, 9, 3] tables live at once; 1 << 25 each = 128 MB each).
+# NOTE: 1 << 26 crashed the remote TPU worker outright on the 256- and
+# 512-camera problems (the same shapes ran at 1 << 25) — keep it here.
+_SCHUR_CHUNK_BUDGET = 1 << 25
 
 
 def _segsum_onehot(data, seg, num_segments: int):

@@ -137,3 +137,49 @@ def test_ray_angle():
     assert float(a) < 1e-3
     b = ray_angle(jnp.array([0.0, 0.0]), f, R, jnp.array([500.0, 0.0]), f, R)
     assert float(b) == pytest.approx(np.pi / 4, abs=1e-6)
+
+
+def test_eigh3x3_matches_lapack(rng):
+    """Closed-form symmetric 3x3 eigendecomposition vs numpy across random,
+    near-degenerate, and isotropic matrices."""
+    from bundler_sfm_tpu.ops.svd_utils import eigh3x3
+    mats = []
+    for _ in range(200):
+        B = rng.normal(size=(3, 3))
+        mats.append(B @ B.T)
+    # Repeated-eigenvalue and isotropic cases.
+    mats.append(np.eye(3))
+    mats.append(np.diag([2.0, 2.0, 5.0]))
+    mats.append(np.diag([3.0, 1e-12, 1e-12]))
+    mats.append(np.zeros((3, 3)))
+    A = np.stack(mats)
+    w, V = jax.jit(jax.vmap(lambda a: __import__(
+        "bundler_sfm_tpu.ops.svd_utils", fromlist=["eigh3x3"]).eigh3x3(a)))(
+            jnp.asarray(A))
+    w = np.asarray(w)
+    V = np.asarray(V)
+    for t in range(len(mats)):
+        wt, Vt = np.linalg.eigh(A[t])
+        scale = max(abs(wt[2]), 1.0)
+        np.testing.assert_allclose(w[t], wt, atol=1e-8 * scale)
+        # Columns are unit, mutually orthogonal, and satisfy A v = w v.
+        G = V[t].T @ V[t]
+        np.testing.assert_allclose(G, np.eye(3), atol=1e-7)
+        for k in range(3):
+            np.testing.assert_allclose(A[t] @ V[t][:, k], w[t, k] * V[t][:, k],
+                                       atol=1e-6 * scale)
+
+
+def test_smallest_eigvec_psd(rng):
+    """Inverse-iteration smallest eigenvector vs numpy on well-conditioned
+    12x12 PSD matrices (the normalized-DLT regime it serves)."""
+    from bundler_sfm_tpu.ops.svd_utils import smallest_eigvec_psd
+    for _ in range(30):
+        B = rng.normal(size=(24, 12))
+        A = B.T @ B
+        # Push the smallest eigenvalue well below the rest.
+        w, V = np.linalg.eigh(A)
+        A2 = A - (w[0] - 1e-6 * w[-1]) * np.outer(V[:, 0], V[:, 0])
+        v = np.asarray(smallest_eigvec_psd(jnp.asarray(A2)))
+        wt, Vt = np.linalg.eigh(A2)
+        assert abs(v @ Vt[:, 0]) > 1 - 1e-6
