@@ -35,6 +35,7 @@ are psum-reduced across shards — see parallel/ba_sharded.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -832,7 +833,8 @@ def _solve_schur_cg_sharded(U_aug, Y, W, rhs, prob: BAProblem, axis: str,
 
 def _lm_loop(prob: BAProblem, max_iters: int, fix_points: bool,
              tau, eps1, eps2, loss: str, huber_param, solver: str,
-             axis: Optional[str] = None):
+             axis: Optional[str] = None,
+             state0=None, it_hi=None):
     """The LM while-loop shared by run_ba, the fused outlier loop, and the
     point-sharded distributed BA.  Starts from prob.cam0/pts0 (w live in
     cam[:,3:6]); returns (cam, pts, cost, cost0, iters, mu) with w NOT yet
@@ -892,16 +894,24 @@ def _lm_loop(prob: BAProblem, max_iters: int, fix_points: bool,
         return _psum(compute_cost(cam, pts, prob, loss=loss,
                                   huber_b=huber_b), axis)
 
-    # Initial damping: tau * max diagonal of JᵀJ (SBA's init).
-    U0, V0, _, g_c0, g_p0, cost0 = global_blocks(prob.cam0, prob.pts0)
-    maxdiag = jnp.maximum(
-        jnp.max(jax.vmap(jnp.diag)(U0)),
-        _pmax(jnp.max(jax.vmap(jnp.diag)(V0)), axis))
-    mu0 = tau * jnp.maximum(maxdiag, 1.0)
+    if state0 is None:
+        # Initial damping: tau * max diagonal of JᵀJ (SBA's init).
+        U0, V0, _, g_c0, g_p0, cost0 = global_blocks(prob.cam0, prob.pts0)
+        maxdiag = jnp.maximum(
+            jnp.max(jax.vmap(jnp.diag)(U0)),
+            _pmax(jnp.max(jax.vmap(jnp.diag)(V0)), axis))
+        mu0 = tau * jnp.maximum(maxdiag, 1.0)
+    else:
+        cost0 = state0[4]    # caller tracks the true initial cost
+
+    # `it_hi` bounds THIS call (resumable chunked execution for backends
+    # with a per-execution time limit); `max_iters` bounds the total.
+    cap = jnp.int32(max_iters) if it_hi is None else \
+        jnp.minimum(jnp.int32(max_iters), it_hi)
 
     def cond(state):
         cam, pts, mu, nu, cost, it, done = state
-        return (it < max_iters) & ~done
+        return (it < cap) & ~done
 
     inv_s = 1.0 / prob.cam_scale
 
@@ -934,25 +944,25 @@ def _lm_loop(prob: BAProblem, max_iters: int, fix_points: bool,
         done = (gnorm < eps1) | (dnorm < eps2 * (pnorm + eps2)) | (mu > 1e30)
         return cam, pts, mu, nu, cost_next, it + 1, done
 
-    state = (prob.cam0, prob.pts0, mu0, jnp.asarray(2.0, dtype), cost0,
-             jnp.int32(0), jnp.asarray(False))
-    cam, pts, mu, nu, cost, iters, _ = jax.lax.while_loop(cond, body, state)
-    return cam, pts, cost, cost0, iters, mu
+    if state0 is None:
+        state = (prob.cam0, prob.pts0, mu0, jnp.asarray(2.0, dtype), cost0,
+                 jnp.int32(0), jnp.asarray(False))
+    else:
+        state = state0
+    state = jax.lax.while_loop(cond, body, state)
+    cam, pts, mu, nu, cost, iters, done = state
+    return cam, pts, cost, cost0, iters, mu, state
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "fix_points",
                                               "loss", "solver"))
-def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
-           tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12,
-           loss: str = "l2", huber_param: float = 25.0,
-           solver: str = "cholesky") -> BAResult:
-    """Levenberg-Marquardt with Schur complement; mirrors run_sfm's SBA call
-    (MAX_ITERS=150 `sfm.c:814`, opts `sfm.c:705-714`).
-
-    loss="huber" + solver="cg" reproduce the Ceres backend's configuration
-    (HuberLoss(25) `src/BundleCeres.cpp:125,285`; ITERATIVE_SCHUR with
-    SCHUR_JACOBI for >200 cams `:132-134,369-379`)."""
-    cam, pts, cost, cost0, iters, mu = _lm_loop(
+def _run_ba_fused(prob: BAProblem, max_iters: int = 150,
+                  fix_points: bool = False,
+                  tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12,
+                  loss: str = "l2", huber_param: float = 25.0,
+                  solver: str = "cholesky") -> BAResult:
+    """The whole LM run as ONE device program (the normal case)."""
+    cam, pts, cost, cost0, iters, mu, _ = _lm_loop(
         prob, max_iters, fix_points, tau, eps1, eps2, loss, huber_param,
         solver)
     # Fold w into R (run_sfm epilogue, sfm.c:876-929).
@@ -962,9 +972,169 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
                     initial_cost=cost0, iters=iters, mu=mu)
 
 
+def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
+           tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12,
+           loss: str = "l2", huber_param: float = 25.0,
+           solver: str = "cholesky",
+           chunked: Optional[bool] = None) -> BAResult:
+    """Levenberg-Marquardt with Schur complement; mirrors run_sfm's SBA call
+    (MAX_ITERS=150 `sfm.c:814`, opts `sfm.c:705-714`).
+
+    loss="huber" + solver="cg" reproduce the Ceres backend's configuration
+    (HuberLoss(25) `src/BundleCeres.cpp:125,285`; ITERATIVE_SCHUR with
+    SCHUR_JACOBI for >200 cams `:132-134,369-379`).
+
+    Very large problems (estimated work Cp·O_pad·max_iters above
+    _FUSED_WORK_BUDGET) run through the resumable chunked driver so no
+    single device execution exceeds the backend's per-execution limit;
+    pass `chunked` to force either mode."""
+    if chunked is None:
+        est = float(prob.cam0.shape[0]) * prob.obs_cam.shape[0] * max_iters
+        chunked = est > _FUSED_WORK_BUDGET
+    if chunked:
+        return run_ba_chunked(prob, max_iters=max_iters,
+                              fix_points=fix_points, tau=tau, eps1=eps1,
+                              eps2=eps2, loss=loss,
+                              huber_param=huber_param, solver=solver)
+    return _run_ba_fused(prob, max_iters, fix_points, tau, eps1, eps2,
+                         loss, huber_param, solver)
+
+
+class LMState(NamedTuple):
+    """Resumable LM while-loop state (cam, pts, mu, nu, cost, it, done)."""
+    cam: jnp.ndarray
+    pts: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+    cost: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "fix_points",
+                                             "loss", "solver"))
+def _lm_start(prob: BAProblem, it_hi, max_iters: int, fix_points: bool,
+              tau, eps1, eps2, loss: str, huber_param, solver: str):
+    """First chunk of a resumable LM run: init + up to `it_hi` iterations.
+    Returns (cost0, state)."""
+    _, _, _, cost0, _, _, st = _lm_loop(
+        prob, max_iters, fix_points, tau, eps1, eps2, loss, huber_param,
+        solver, it_hi=it_hi)
+    return cost0, LMState(*st)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "fix_points",
+                                             "loss", "solver"))
+def _lm_resume(prob: BAProblem, state: LMState, it_hi, max_iters: int,
+               fix_points: bool, tau, eps1, eps2, loss: str, huber_param,
+               solver: str) -> "LMState":
+    """Continue a resumable LM run up to iteration `it_hi`."""
+    _, _, _, _, _, _, st = _lm_loop(
+        prob, max_iters, fix_points, tau, eps1, eps2, loss, huber_param,
+        solver, state0=tuple(state), it_hi=it_hi)
+    return LMState(*st)
+
+
+# Per-execution wall-clock budget for one device program, seconds.  The
+# remote-TPU (axon) runtime kills the worker outright when a single
+# execution runs much past ~60-80 s (measured: a 150-iteration 256-camera
+# LM died at 79 s; 30/60-iteration runs of the same shape succeed), so the
+# chunked driver sizes each dispatch to stay well below that.  On local
+# hardware the chunking costs only ~one dispatch per chunk.
+_EXEC_TARGET_S = float(os.environ.get("BUNDLER_BA_EXEC_TARGET_S", "25"))
+
+# Estimated-work threshold (Cp · O_pad · max_iters) above which run_sfm and
+# run_ba_chunked split the LM into multiple device executions.
+_FUSED_WORK_BUDGET = float(os.environ.get("BUNDLER_BA_FUSED_BUDGET", "8e12"))
+
+
+def run_ba_chunked(prob: BAProblem, max_iters: int = 150,
+                   fix_points: bool = False,
+                   tau: float = 1e-3, eps1: float = 1e-10,
+                   eps2: float = 1e-12, loss: str = "l2",
+                   huber_param: float = 25.0, solver: str = "cholesky",
+                   first_chunk: int = 15) -> BAResult:
+    """run_ba split across multiple device executions (state stays
+    device-resident between chunks; only `it`/`done` round-trip).  The
+    chunk size adapts to the measured per-iteration wall time so each
+    dispatch stays under _EXEC_TARGET_S."""
+    import time as _time
+    args = (max_iters, fix_points, tau, eps1, eps2, loss, huber_param,
+            solver)
+    t0 = _time.perf_counter()
+    chunk = min(first_chunk, max_iters)
+    cost0, st = _lm_start(prob, jnp.int32(chunk), max_iters, fix_points,
+                          tau, eps1, eps2, loss, huber_param, solver)
+    it = int(st.it)
+    done = bool(st.done)
+    wall = _time.perf_counter() - t0
+    while it < max_iters and not done:
+        per_iter = wall / max(it, 1)
+        chunk = max(5, min(int(_EXEC_TARGET_S / max(per_iter, 1e-3)),
+                           max_iters - it))
+        t0 = _time.perf_counter()
+        st = _lm_resume(prob, st, jnp.int32(it + chunk), max_iters,
+                        fix_points, tau, eps1, eps2, loss, huber_param,
+                        solver)
+        new_it = int(st.it)
+        done = bool(st.done)
+        wall = _time.perf_counter() - t0
+        it = new_it if new_it > it else it + chunk   # forward progress
+    cam = st.cam
+    R = jax.vmap(rot_update)(prob.R0, cam[:, 3:6])
+    return BAResult(cam=cam.at[:, 3:6].set(0.0), R=R, pts=st.pts,
+                    cost=st.cost, initial_cost=cost0, iters=st.it, mu=st.mu)
+
+
 # --------------------------------------------------------------------------
 # Fused BA + outlier-removal loop (RunSFM's re-bundle loop, on device)
 # --------------------------------------------------------------------------
+
+
+def _pass_stats_core(prob: BAProblem, cam_obs, cam_obs_mask, cam, pts, R,
+                     ov, outlier_factor, min_thresh, max_thresh,
+                     axis: Optional[str]):
+    """Per-camera reprojection stats on the CURRENT obs_valid set
+    (`src/Bundle.cpp:659-850`): per-obs distances, p80 threshold with the
+    [min, max] clamp, mean, and the 10-bin histograms."""
+    dtype = prob.cam0.dtype
+    C = prob.cam0.shape[0]
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    p = prob._replace(obs_valid=ov)
+    pred, _ = _predict_obs(cam, pts, R, p)
+    d = jnp.linalg.norm(pred - prob.obs_xy, axis=1)       # [O]
+    if axis is None:
+        d_all, ov_all = d, ov
+    else:
+        d_all = jax.lax.all_gather(d, axis).reshape(-1)
+        ov_all = jax.lax.all_gather(ov, axis).reshape(-1)
+    dc = d_all[cam_obs]                                    # [C,S]
+    vm = cam_obs_mask & ov_all[cam_obs]
+    dmask = jnp.where(vm, dc, big)
+    dsort = jnp.sort(dmask, axis=1)
+    n = jnp.sum(vm, axis=1)                                # [C]
+    # kth_element at round(0.8·n) (src/Bundle.cpp:762-766).
+    k = jnp.clip(jnp.round(0.8 * n).astype(jnp.int32), 0,
+                 jnp.maximum(n - 1, 0))
+    p80 = jnp.where(n > 0, dsort[jnp.arange(C), k], 0.0)
+    thresh = jnp.clip(outlier_factor * p80, min_thresh, max_thresh)
+    mean = jnp.where(n > 0,
+                     jnp.sum(jnp.where(vm, dc, 0.0), axis=1)
+                     / jnp.maximum(n, 1), 0.0)
+    # 10-bin histogram between per-camera min/max, cumulative "<= edge"
+    # binning like the OUTPUT_VERBOSE_STATS block (Bundle.cpp:823-846).
+    pr_min = jnp.where(n > 0, dsort[:, 0], 0.0)
+    pr_max = jnp.where(n > 0, dsort[jnp.arange(C),
+                                    jnp.maximum(n - 1, 0)], 0.0)
+    step = (pr_max - pr_min) / 10.0
+    edges = pr_min[:, None] + step[:, None] * \
+        jnp.arange(1, 11, dtype=dtype)[None, :]            # [C,10]
+    le = (dmask[:, :, None] <= edges[:, None, :]) & vm[:, :, None]
+    cum = jnp.sum(le, axis=1).astype(jnp.int32)            # [C,10]
+    cum = cum.at[:, 9].set(n.astype(jnp.int32))  # top edge fp guard
+    bins = jnp.diff(cum, prepend=0, axis=1)
+    stats = jnp.stack([n.astype(dtype), mean, p80, thresh], axis=1)
+    return d, thresh, stats, bins, jnp.stack([pr_min, pr_max], axis=1)
 
 class BAOutlierResult(NamedTuple):
     """Result of the fused multi-pass BA + outlier-removal program."""
@@ -1042,45 +1212,11 @@ def _outlier_loop_core(
     dtype = prob.cam0.dtype
     C = prob.cam0.shape[0]
     O = prob.obs_cam.shape[0]
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
     def pass_stats(cam, pts, R, ov):
-        """Per-camera reprojection stats on the CURRENT obs_valid set."""
-        p = prob._replace(obs_valid=ov)
-        pred, _ = _predict_obs(cam, pts, R, p)
-        d = jnp.linalg.norm(pred - prob.obs_xy, axis=1)       # [O]
-        if axis is None:
-            d_all, ov_all = d, ov
-        else:
-            d_all = jax.lax.all_gather(d, axis).reshape(-1)
-            ov_all = jax.lax.all_gather(ov, axis).reshape(-1)
-        dc = d_all[cam_obs]                                    # [C,S]
-        vm = cam_obs_mask & ov_all[cam_obs]
-        dmask = jnp.where(vm, dc, big)
-        dsort = jnp.sort(dmask, axis=1)
-        n = jnp.sum(vm, axis=1)                                # [C]
-        # kth_element at round(0.8·n) (src/Bundle.cpp:762-766).
-        k = jnp.clip(jnp.round(0.8 * n).astype(jnp.int32), 0,
-                     jnp.maximum(n - 1, 0))
-        p80 = jnp.where(n > 0, dsort[jnp.arange(C), k], 0.0)
-        thresh = jnp.clip(outlier_factor * p80, min_thresh, max_thresh)
-        mean = jnp.where(n > 0,
-                         jnp.sum(jnp.where(vm, dc, 0.0), axis=1)
-                         / jnp.maximum(n, 1), 0.0)
-        # 10-bin histogram between per-camera min/max, cumulative "<= edge"
-        # binning like the OUTPUT_VERBOSE_STATS block (Bundle.cpp:823-846).
-        pr_min = jnp.where(n > 0, dsort[:, 0], 0.0)
-        pr_max = jnp.where(n > 0, dsort[jnp.arange(C),
-                                        jnp.maximum(n - 1, 0)], 0.0)
-        step = (pr_max - pr_min) / 10.0
-        edges = pr_min[:, None] + step[:, None] * \
-            jnp.arange(1, 11, dtype=dtype)[None, :]            # [C,10]
-        le = (dmask[:, :, None] <= edges[:, None, :]) & vm[:, :, None]
-        cum = jnp.sum(le, axis=1).astype(jnp.int32)            # [C,10]
-        cum = cum.at[:, 9].set(n.astype(jnp.int32))  # top edge fp guard
-        bins = jnp.diff(cum, prepend=0, axis=1)
-        stats = jnp.stack([n.astype(dtype), mean, p80, thresh], axis=1)
-        return d, thresh, stats, bins, jnp.stack([pr_min, pr_max], axis=1)
+        return _pass_stats_core(prob, cam_obs, cam_obs_mask, cam, pts, R,
+                                ov, outlier_factor, min_thresh, max_thresh,
+                                axis)
 
     def body(st):
         (cam, pts, R0c, ov, removed, pass_i, n_out, stats_b, hist_b,
@@ -1088,7 +1224,7 @@ def _outlier_loop_core(
 
         def run_pass(_):
             p = prob._replace(R0=R0c, cam0=cam, pts0=pts, obs_valid=ov)
-            cam1, pts1, cost, cost0, iters, _ = _lm_loop(
+            cam1, pts1, cost, cost0, iters, _, _st = _lm_loop(
                 p, max_iters, fix_points, tau, eps1, eps2, loss,
                 huber_param, solver, axis=axis)
             # Fold w into the carried base rotations for the next pass.
@@ -1198,3 +1334,100 @@ def run_ba_outlier_loop(
         eps2, loss, huber_param, solver, outlier_factor, min_thresh,
         max_thresh, min_outliers, min_points, max_passes, remove_outliers,
         axis=None)
+
+
+@functools.partial(jax.jit, static_argnames=("remove_outliers",))
+def _pass_stats_jit(prob: BAProblem, cam_obs, cam_obs_mask, cam, pts, R,
+                    ov, outlier_factor, min_thresh, max_thresh,
+                    remove_outliers: bool):
+    """One post-BA pass of RunSFM's stats + outlier removal as its own
+    program (used by the chunked host-driven loop)."""
+    d, thresh, stats, bins, edges = _pass_stats_core(
+        prob, cam_obs, cam_obs_mask, cam, pts, R, ov, outlier_factor,
+        min_thresh, max_thresh, axis=None)
+    bad_obs = ov & (d > thresh[prob.obs_cam])
+    bad_pt = jnp.any(prob.views_mask
+                     & bad_obs.reshape(prob.views_mask.shape), axis=1)
+    bad_pt = bad_pt & ~((prob.pt_constrained > 0) & (prob.pt_weight > 0))
+    n_o = jnp.sum(bad_pt).astype(jnp.int32)
+    if remove_outliers:
+        ov1 = ov & ~_pt_expand(bad_pt, prob)
+    else:
+        ov1 = ov
+    nvalid = jnp.sum(ov)
+    avg = jnp.sum(jnp.where(ov, d, 0.0)) / jnp.maximum(nvalid, 1)
+    n_live = jnp.sum(jnp.any(prob.views_mask
+                             & ov1.reshape(prob.views_mask.shape), axis=1))
+    return stats, bins, edges, ov1, bad_pt, n_o, avg, n_live
+
+
+def run_ba_outlier_loop_chunked(
+    prob: BAProblem, cam_obs: jnp.ndarray, cam_obs_mask: jnp.ndarray,
+    max_iters: int = 150, fix_points: bool = False,
+    tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12,
+    loss: str = "l2", huber_param: float = 25.0, solver: str = "cholesky",
+    outlier_factor: float = 2.4, min_thresh: float = 8.0,
+    max_thresh: float = 16.0, min_outliers: int = 40, min_points: int = 8,
+    max_passes: int = 8, remove_outliers: bool = True,
+) -> BAOutlierResult:
+    """Host-driven variant of run_ba_outlier_loop for problems whose fused
+    program would exceed the per-execution limit of the backend (see
+    _EXEC_TARGET_S): each pass runs the LM via run_ba_chunked (a few
+    device executions) plus one stats/removal program.  Same semantics and
+    result type as the fused loop; a handful of dispatches per pass instead
+    of one per reconstruction round."""
+    dtype = np.dtype(prob.cam0.dtype).type
+    C = prob.cam0.shape[0]
+    R0c = prob.R0
+    cam = prob.cam0
+    pts = prob.pts0
+    ov = prob.obs_valid
+    removed = jnp.zeros(prob.pts0.shape[0], bool)
+    stats_b = np.zeros((max_passes, C, 4), dtype)
+    hist_b = np.zeros((max_passes, C, 10), np.int32)
+    edge_b = np.zeros((max_passes, C, 2), dtype)
+    nout_b = np.zeros(max_passes, np.int32)
+    iters_tot = 0
+    cost_i = None
+    cost_f = avg = 0.0
+    too_few = False
+    passes = 0
+    while passes < max_passes:
+        n_live0 = int(jnp.sum(jnp.any(
+            prob.views_mask & ov.reshape(prob.views_mask.shape), axis=1)))
+        if n_live0 < min_points:
+            too_few = True
+            break
+        p = prob._replace(R0=R0c, cam0=cam, pts0=pts, obs_valid=ov)
+        res = run_ba_chunked(p, max_iters=max_iters, fix_points=fix_points,
+                             tau=tau, eps1=eps1, eps2=eps2, loss=loss,
+                             huber_param=huber_param, solver=solver)
+        cam, pts, R0c = res.cam, res.pts, res.R
+        iters_tot += int(res.iters)
+        if cost_i is None:
+            cost_i = float(res.initial_cost)
+        cost_f = float(res.cost)
+        stats, bins, edges, ov, bad_pt, n_o, avg_j, _ = _pass_stats_jit(
+            prob, cam_obs, cam_obs_mask, cam, pts, R0c, ov,
+            jnp.asarray(outlier_factor, prob.obs_xy.dtype),
+            jnp.asarray(min_thresh, prob.obs_xy.dtype),
+            jnp.asarray(max_thresh, prob.obs_xy.dtype), remove_outliers)
+        if remove_outliers:
+            removed = removed | bad_pt
+        stats_b[passes] = np.asarray(stats)
+        hist_b[passes] = np.asarray(bins)
+        edge_b[passes] = np.asarray(edges)
+        n_out = int(n_o)
+        nout_b[passes] = n_out
+        avg = float(avg_j)
+        passes += 1
+        if not remove_outliers or n_out <= min_outliers:
+            break
+    z = jnp.asarray
+    return BAOutlierResult(
+        cam=cam, R=R0c, pts=pts, obs_valid=ov, pt_removed=removed,
+        passes=z(np.int32(passes)), iters=z(np.int32(iters_tot)),
+        n_outliers=z(nout_b), stats=z(stats_b), hist=z(hist_b),
+        hist_edges=z(edge_b), avg_dist=z(dtype(avg)),
+        too_few=z(too_few), cost=z(dtype(cost_f)),
+        initial_cost=z(dtype(cost_i if cost_i is not None else 0.0)))

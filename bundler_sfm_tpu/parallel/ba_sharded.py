@@ -138,7 +138,7 @@ def run_ba_sharded(prob: BAProblem, mesh: Mesh, max_iters: int = 100,
 
     def solve(p: BAProblem) -> BAResult:
         local = _local_problem(p)
-        cam, pts, cost, cost0, iters, mu = _ba._lm_loop(
+        cam, pts, cost, cost0, iters, mu, _ = _ba._lm_loop(
             local, max_iters, fix_points, tau, eps1, eps2, "l2", 25.0,
             solver, axis=AXIS)
         R = jax.vmap(rot_update)(local.R0, cam[:, 3:6])

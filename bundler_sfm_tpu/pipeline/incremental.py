@@ -435,9 +435,19 @@ def run_sfm(recon: Reconstruction, scene: Scene,
                 dtype=_dt(cfg))
             cam_obs, cam_obs_mask = build_cam_obs_table(obs_cam, obs_pt,
                                                         Cp, Sp, Mp)
+            # Huge rounds run the host-driven chunked loop so no single
+            # device execution exceeds the backend's per-execution limit
+            # (ops/ba.py _FUSED_WORK_BUDGET; the fused one-dispatch loop is
+            # the normal case).
+            from bundler_sfm_tpu.ops.ba import (
+                _FUSED_WORK_BUDGET, run_ba_outlier_loop_chunked,
+            )
+            est_work = float(Cp) * (Pp * Mp) * cfg.sfm_max_iters
+            runner = (run_ba_outlier_loop if est_work <= _FUSED_WORK_BUDGET
+                      else run_ba_outlier_loop_chunked)
             with stage("ba"):
                 counter("dispatches")
-                res = run_ba_outlier_loop(
+                res = runner(
                     prob, jnp.asarray(cam_obs), jnp.asarray(cam_obs_mask),
                     **ba_kw)
                 get_telemetry().add("ba_observations",

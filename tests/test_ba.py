@@ -341,3 +341,65 @@ def test_triggs_correction_huber_noop(rng):
                     -0.5 * np.sqrt(b) * np.asarray(s) ** -1.5)
     np.testing.assert_allclose(rho2, want, rtol=1e-12)
     assert (rho2 <= 0).all()
+
+
+def test_run_ba_chunked_matches_fused(rng):
+    """The resumable chunked LM driver replays the exact same iteration
+    sequence as the single-program path (bitwise on CPU)."""
+    from bundler_sfm_tpu.ops.ba import run_ba
+    sc = Scene(rng, num_cams=4, num_pts=120, noise=0.4)
+    prob = make_problem(rng, sc, est_distortion=True)
+    a = run_ba(prob, max_iters=40, chunked=False)
+    b = run_ba(prob, max_iters=40, chunked=True)
+    assert int(a.iters) == int(b.iters)
+    np.testing.assert_array_equal(np.asarray(a.cam), np.asarray(b.cam))
+    np.testing.assert_array_equal(np.asarray(a.pts), np.asarray(b.pts))
+    assert float(a.cost) == float(b.cost)
+
+
+def test_outlier_loop_chunked_matches_fused(rng):
+    """Host-driven chunked outlier loop = fused device loop: same removals,
+    cameras, stats, and pass count."""
+    from bundler_sfm_tpu.ops.ba import (
+        build_cam_obs_table, run_ba_outlier_loop,
+        run_ba_outlier_loop_chunked,
+    )
+    sc = Scene(rng, num_cams=4, num_pts=150, noise=0.5)
+    C, P = 4, 150
+    cam0 = np.zeros((C, CNP))
+    R0 = np.stack(sc.R[:C])
+    for i in range(C):
+        cam0[i, 0:3] = sc.centers[i]
+        cam0[i, 6] = sc.f[i]
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for c in range(C):
+        for p in range(P):
+            obs_cam.append(c)
+            obs_pt.append(p)
+            obs_xy.append(sc.obs[c][p])
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    obs_xy = np.array(obs_xy)
+    bad_pts = rng.choice(P, 10, replace=False)
+    bad_sel = np.isin(obs_pt, bad_pts)
+    obs_xy[bad_sel] += rng.uniform(60, 120, (bad_sel.sum(), 2))
+    pts0 = sc.points + rng.normal(size=sc.points.shape) * 0.02
+    prob = build_problem(R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
+                         est_distortion=False)
+    cam_obs, cam_mask = build_cam_obs_table(obs_cam, obs_pt, C)
+    kw = dict(max_iters=50, min_outliers=2, min_points=8, max_passes=4)
+    a = run_ba_outlier_loop(prob, jnp.asarray(cam_obs),
+                            jnp.asarray(cam_mask), **kw)
+    b = run_ba_outlier_loop_chunked(prob, jnp.asarray(cam_obs),
+                                    jnp.asarray(cam_mask), **kw)
+    assert int(a.passes) == int(b.passes)
+    np.testing.assert_array_equal(np.asarray(a.pt_removed),
+                                  np.asarray(b.pt_removed))
+    np.testing.assert_allclose(np.asarray(a.cam), np.asarray(b.cam),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(a.n_outliers),
+                                  np.asarray(b.n_outliers))
+    np.testing.assert_allclose(np.asarray(a.stats), np.asarray(b.stats),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(a.hist), np.asarray(b.hist))
+    assert abs(float(a.avg_dist) - float(b.avg_dist)) < 1e-9
