@@ -222,6 +222,11 @@ def main():
     ap.add_argument("--ref", default="/tmp/refbuild/bin")
     ap.add_argument("--track_ratio", type=float, default=0.6)
     ap.add_argument("--skip_reference", action="store_true")
+    ap.add_argument("--skip_ours", action="store_true",
+                    help="run only the reference side (e.g. in background "
+                         "pinned to a core while ours runs later)")
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON to this path")
     args = ap.parse_args()
 
     infos, descs, gt = synthesize(args.num_images, args.keys_per_image,
@@ -241,20 +246,24 @@ def main():
             **model_quality(os.path.join(workdir, "bundle", "bundle.out"),
                             gt)}
 
-    import jax
-    t_match, t_bundle, bundle_out = run_ours(workdir, infos, descs)
-    result["ours"] = {
-        "platform": jax.devices()[0].platform,
-        "match_s": round(t_match, 2), "bundle_s": round(t_bundle, 2),
-        "total_s": round(t_match + t_bundle, 2),
-        **model_quality(bundle_out, gt)}
-    if "reference" in result:
+    if not args.skip_ours:
+        import jax
+        t_match, t_bundle, bundle_out = run_ours(workdir, infos, descs)
+        result["ours"] = {
+            "platform": jax.devices()[0].platform,
+            "match_s": round(t_match, 2), "bundle_s": round(t_bundle, 2),
+            "total_s": round(t_match + t_bundle, 2),
+            **model_quality(bundle_out, gt)}
+    if "reference" in result and "ours" in result:
         result["speedup_total"] = round(
             result["reference"]["total_s"] / result["ours"]["total_s"], 2)
         result["speedup_match"] = round(
             result["reference"]["match_s"] / max(result["ours"]["match_s"],
                                                  1e-9), 2)
     print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f)
 
 
 if __name__ == "__main__":

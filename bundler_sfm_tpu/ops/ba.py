@@ -87,7 +87,12 @@ def _robust_curvature(s, loss: str, b):
 
 
 class BAProblem(NamedTuple):
-    """Padded, static-shape bundle-adjustment problem."""
+    """Padded, static-shape bundle-adjustment problem.
+
+    OBSERVATION ARRAYS ARE IN SLOT LAYOUT, NOT INPUT ORDER: build_problem
+    stores the observation of point p's k-th view at flat row p*M + k
+    (O = Pp*M total rows, padding rows invalid).  Use ba.slot_ids() to map
+    between a caller's flat observation order and these rows."""
     R0: jnp.ndarray               # [C,3,3] base rotations
     cam0: jnp.ndarray             # [C,9] initial params (c, w=0, f, k1, k2)
     cam_mask: jnp.ndarray         # [C,9] 1.0 = free, 0.0 = frozen
@@ -98,10 +103,10 @@ class BAProblem(NamedTuple):
     pt_constrained: jnp.ndarray   # [P] 1.0 where constrained
     pt_constraints: jnp.ndarray   # [P,3]
     pt_weight: jnp.ndarray        # scalar point-constraint weight
-    obs_cam: jnp.ndarray          # [O] int32 (padding rows -> camera 0)
-    obs_pt: jnp.ndarray           # [O] int32 (padding rows -> point 0)
-    obs_xy: jnp.ndarray           # [O,2]
-    obs_valid: jnp.ndarray        # [O] bool
+    obs_cam: jnp.ndarray          # [O=Pp·M] int32, SLOT layout (pad -> cam 0)
+    obs_pt: jnp.ndarray           # [O=Pp·M] int32 = row // M by construction
+    obs_xy: jnp.ndarray           # [O=Pp·M,2] SLOT layout
+    obs_valid: jnp.ndarray        # [O=Pp·M] bool (False on padding slots)
     views_obs: jnp.ndarray        # [P,M] int32 obs index per point view (pad 0)
     views_mask: jnp.ndarray       # [P,M] bool
     cam_scale: jnp.ndarray        # [9] per-param scale s (LM solves q = s∘x)
@@ -168,9 +173,17 @@ def build_problem(
 ) -> BAProblem:
     """Pad + mask a host-side problem into a static-shape BAProblem.
 
-    Observations are stored in SLOT LAYOUT [Pp·M] (see below); `pad_obs` is
-    accepted for backward compatibility but ignored — the observation
+    Observations are stored in SLOT LAYOUT [Pp·M] (see below), NOT in the
+    caller's input order — map flat results back with slot_ids().  `pad_obs`
+    is accepted for backward compatibility but ignored — the observation
     padding is implied by (pad_pts, max_views)."""
+    if pad_obs is not None:
+        import warnings
+        warnings.warn(
+            "build_problem ignores pad_obs: observations are stored in "
+            "slot layout [pad_pts*max_views], reordered from input order "
+            "(use ba.slot_ids() to map back)", DeprecationWarning,
+            stacklevel=2)
     C, P, O = len(cam0), len(pts0), len(obs_cam)
     Cp = pad_cams or C
     Pp = pad_pts or P

@@ -103,9 +103,13 @@ def svd_small(A: jnp.ndarray):
 def smallest_eigvec_psd(A: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
     """Smallest eigenvector of a small PSD [n, n] matrix by damped inverse
     iteration — ONE unrolled Cholesky factorization + `iters` triangular
-    substitutions, replacing XLA's iterative eigh (the dominant cost of
-    vmapped RANSAC fit kernels; see fmatrix._closest_rank2 for the 3×3
-    closed form, this for n > 3, e.g. the 12×12 DLT normal matrix).
+    substitutions, an alternative to XLA's iterative eigh for small PSD
+    systems (see fmatrix._closest_rank2 for the 3×3 closed form).  NOTE:
+    the production resection DLT uses batched eigh on the Hartley-
+    normalized 12×12 normal matrix instead — measured faster there
+    (the substitution chains are dependency-latency-bound under vmap,
+    18.2 s vs 8.6 s for the 128-image resection stage); this routine is
+    kept for callers whose batch shapes favor it.
 
     Two deterministic starts guard against a start vector accidentally
     orthogonal to the target eigenvector; the iterate with the smaller

@@ -310,6 +310,42 @@ def _gather_problem(recon: Reconstruction, scene: Scene,
     return [int(p) for p in live], remap, (obs_cam, obs_pt, obs_xy)
 
 
+def _cap_slot_views(obs_cam, obs_pt, obs_xy, num_points,
+                    waste_factor: float = 4.0, min_cap: int = 32):
+    """Bound the slot-layout view dimension M (ops/ba.py build_problem).
+
+    The slot layout sizes every per-observation array as Pp*M with M the
+    LONGEST live track, so one landmark visible in most cameras inflates
+    O_pad = Pp*M far beyond the true observation count (a 256-view track
+    over 262k padded points is 67M slots, ~7 GB for W alone in f32).  When
+    the padding waste exceeds `waste_factor`, cap M at the smallest value
+    that keeps Pp*M <= waste_factor*O (never below `min_cap`) and evenly
+    subsample the views of the few points above the cap for this BA round.
+    A capped point stays over-determined (>= 32 views), its dropped views
+    remain in the track and return in later rounds; removal bookkeeping is
+    per-point, so it is unaffected.  No-op for every test/golden-scale
+    problem (waste < 4x or M <= 32)."""
+    counts = np.bincount(obs_pt, minlength=num_points)
+    M = int(counts.max()) if len(obs_pt) else 1
+    O = len(obs_pt)
+    if M <= min_cap or num_points * M <= waste_factor * O:
+        return obs_cam, obs_pt, obs_xy
+    cap = max(min_cap, int(np.ceil(waste_factor * O / num_points)))
+    cap = _round_up(min(cap, M), 4)
+    if cap >= M:
+        return obs_cam, obs_pt, obs_xy
+    from bundler_sfm_tpu.ops.ba import _slot_within
+    within = _slot_within(obs_pt)
+    cnt = counts[obs_pt]
+    # Even decimation: keep view k of an n-view point iff the integer ramp
+    # floor(k*cap/n) advances — exactly cap survivors, evenly spaced.
+    keep = (cnt <= cap) | (((within + 1) * cap) // cnt
+                           > (within * cap) // cnt)
+    from bundler_sfm_tpu.utils import get_telemetry
+    get_telemetry().add("ba_views_capped", float(np.sum(~keep)))
+    return obs_cam[keep], obs_pt[keep], obs_xy[keep]
+
+
 def run_sfm(recon: Reconstruction, scene: Scene,
             remove_outliers: bool = True, fix_points: bool = False,
             verbose: bool = True,
@@ -334,6 +370,8 @@ def run_sfm(recon: Reconstruction, scene: Scene,
         if len(live) < MIN_POINTS:
             log("[RunSFM] Too few points remaining, exiting!")
             return float("inf")
+        obs_cam, obs_pt, obs_xy = _cap_slot_views(
+            obs_cam, obs_pt, obs_xy, len(live))
 
         C = recon.num_cameras
         cam0 = np.stack(recon.cam_params)
@@ -371,7 +409,7 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             pw = pt_weight
 
         Cp = _round_up(C, 4)
-        Mp = _round_up(max(len(recon.pt_views[p]) for p in live), 4)
+        Mp = _round_up(int(np.bincount(obs_pt).max()), 4)
         # Per-camera stat-table slots, bucketed so camera-count growth
         # reuses compiled shapes.
         Sp = _bucket(int(num_vis.max()), 256)
@@ -442,7 +480,11 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             from bundler_sfm_tpu.ops.ba import (
                 _FUSED_WORK_BUDGET, run_ba_outlier_loop_chunked,
             )
-            est_work = float(Cp) * (Pp * Mp) * cfg.sfm_max_iters
+            # The fused program runs up to MAX_PASSES LM runs in ONE device
+            # execution; the first pass dominates (later passes start from
+            # a converged model and use few iterations), so budget a 2x
+            # pass allowance rather than max_passes x.
+            est_work = float(Cp) * (Pp * Mp) * cfg.sfm_max_iters * 2.0
             runner = (run_ba_outlier_loop if est_work <= _FUSED_WORK_BUDGET
                       else run_ba_outlier_loop_chunked)
             with stage("ba"):

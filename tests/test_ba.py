@@ -357,6 +357,33 @@ def test_run_ba_chunked_matches_fused(rng):
     assert float(a.cost) == float(b.cost)
 
 
+def test_run_ba_auto_dispatch_crosses_threshold(rng, monkeypatch):
+    """With _FUSED_WORK_BUDGET forced down, run_ba's AUTO dispatch (no
+    explicit `chunked=`) routes a problem through the chunked driver and
+    still replays the identical iteration sequence (bitwise on CPU) —
+    execution slicing must not change semantics (lib/sfm-driver/sfm.c:814
+    runs one monolithic loop; our slicing is an implementation detail)."""
+    import bundler_sfm_tpu.ops.ba as ba
+    sc = Scene(rng, num_cams=5, num_pts=150, noise=0.4)
+    prob = make_problem(rng, sc, est_distortion=True)
+    a = ba.run_ba(prob, max_iters=40, chunked=False)
+    calls = []
+    orig = ba.run_ba_chunked
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(ba, "run_ba_chunked", spy)
+    monkeypatch.setattr(ba, "_FUSED_WORK_BUDGET", 1.0)
+    b = ba.run_ba(prob, max_iters=40)
+    assert calls, "auto dispatch did not route through the chunked driver"
+    assert int(a.iters) == int(b.iters)
+    np.testing.assert_array_equal(np.asarray(a.cam), np.asarray(b.cam))
+    np.testing.assert_array_equal(np.asarray(a.pts), np.asarray(b.pts))
+    assert float(a.cost) == float(b.cost)
+
+
 def test_outlier_loop_chunked_matches_fused(rng):
     """Host-driven chunked outlier loop = fused device loop: same removals,
     cameras, stats, and pass count."""

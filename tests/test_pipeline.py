@@ -278,3 +278,74 @@ def test_dispatch_count_collapsed(rng, tmp_path):
     assert recon.num_cameras == 4
     n = get_telemetry().counters.get("dispatches", 0)
     assert 0 < n <= 30, f"dispatches per reconstruction: {n}"
+
+
+def test_pipeline_chunked_ba_threshold_equivalence(rng):
+    """run_sfm's runner selection (incremental.py est_work vs
+    _FUSED_WORK_BUDGET): forcing the budget down routes the SAME scene
+    through run_ba_outlier_loop_chunked and must produce the same
+    reconstruction as the fused one-dispatch loop."""
+    import copy
+    import bundler_sfm_tpu.ops.ba as ba
+    scene, syn = make_pipeline_scene(
+        rng, num_cams=4, num_pts=150,
+        seed_cfg=default_pipeline_config(
+            fmatrix_rounds=256, homography_rounds=64, projection_rounds=256,
+            sfm_max_iters=30))
+    scene2 = copy.deepcopy(scene)
+    compute_geometric_constraints(scene, seed=3)
+    recon_a = bundle_adjust_fast(scene, seed=5)
+    old = ba._FUSED_WORK_BUDGET
+    try:
+        ba._FUSED_WORK_BUDGET = 1.0
+        compute_geometric_constraints(scene2, seed=3)
+        recon_b = bundle_adjust_fast(scene2, seed=5)
+    finally:
+        ba._FUSED_WORK_BUDGET = old
+    assert recon_a.num_cameras == recon_b.num_cameras
+    assert recon_a.added_order == recon_b.added_order
+    # Not bitwise: XLA compiles the resumable chunks as separate programs
+    # and may reassociate f64 reductions differently — only compiled-program
+    # -level noise (~1e-9) is tolerated, not algorithmic divergence.
+    for s in range(recon_a.num_cameras):
+        np.testing.assert_allclose(recon_a.cam_params[s],
+                                   recon_b.cam_params[s],
+                                   rtol=1e-4, atol=1e-6)
+    live_a = [p for p in range(len(recon_a.pt_views)) if recon_a.pt_views[p]]
+    live_b = [p for p in range(len(recon_b.pt_views)) if recon_b.pt_views[p]]
+    assert live_a == live_b
+
+
+def test_cap_slot_views_guard(rng):
+    """_cap_slot_views bounds the slot-layout view dimension: long tracks
+    are evenly subsampled only when padding waste exceeds the factor, and
+    small/dense problems pass through untouched (ADVICE r2)."""
+    from bundler_sfm_tpu.pipeline.incremental import _cap_slot_views
+    # Dense small problem: no-op.
+    obs_pt = np.repeat(np.arange(50, dtype=np.int32), 4)
+    obs_cam = np.tile(np.arange(4, dtype=np.int32), 50)
+    obs_xy = rng.normal(size=(200, 2))
+    c, p, x = _cap_slot_views(obs_cam, obs_pt, obs_xy, 50)
+    assert len(p) == 200
+    # Pathological: one 512-view track over 4000 sparse points (2 views
+    # each) -> waste (4000*512)/(8000+512) = 240x; guard must cap.
+    n_pts = 4000
+    obs_pt = np.concatenate([
+        np.zeros(512, np.int32),
+        np.repeat(np.arange(1, n_pts, dtype=np.int32), 2)])
+    O = len(obs_pt)
+    obs_cam = (np.arange(O) % 512).astype(np.int32)
+    obs_xy = rng.normal(size=(O, 2))
+    c, p, x = _cap_slot_views(obs_cam, obs_pt, obs_xy, n_pts)
+    counts = np.bincount(p, minlength=n_pts)
+    M = counts.max()
+    assert M < 512 and M >= 32
+    # Waste bound, floored by min_cap=32 (+ bucketing slack).
+    assert n_pts * M <= max(4.0 * O, n_pts * 32) + n_pts * 4
+    # Short tracks untouched.
+    assert (counts[1:] == 2).all()
+    # The capped track's survivors are evenly spread (first and last kept).
+    kept = np.nonzero(p == 0)[0]   # point 0's obs were input rows 0..511
+    assert counts[0] == M
+    gaps = np.diff(kept)
+    assert gaps.max() <= int(np.ceil(512 / M)) + 1
