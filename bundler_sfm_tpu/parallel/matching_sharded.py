@@ -148,6 +148,28 @@ class ShardedDescriptorTable:
                         out[(gi, gj)] = m[d, r, qi, di, :n].astype(np.int32)
         return out
 
+    def match_pairs(self, pairs: Sequence[Tuple[int, int]],
+                    ratio: float = 0.6, min_matches: int = 0,
+                    max_out: int = 2048, **_ignored
+                    ) -> Dict[Tuple[int, int], np.ndarray]:
+        """DescriptorTable.match_pairs-compatible entry: run the ring pass
+        (each device holds 1/D of the table — the production multi-device
+        path; the replicated-table matcher won't fit photo-tourism scale)
+        and filter to the requested pair list.  A window-limited pair list
+        still pays the all-pairs ring; the win is memory scaling, matching
+        `src/KeyMatchFull.cpp:117-121`'s banding applied per shard."""
+        allp = self.match_all_pairs(ratio=ratio, min_matches=1,
+                                    max_out=max_out)
+        out: Dict[Tuple[int, int], np.ndarray] = {}
+        for (a, b) in pairs:
+            m = allp.get((a, b))
+            if m is None:
+                rev = allp.get((b, a))
+                m = rev[:, ::-1] if rev is not None else None
+            if m is not None and len(m) >= min_matches:
+                out[(a, b)] = m
+        return out
+
 
 @functools.partial(jax.jit, static_argnames=("mesh", "block"))
 def _match_sharded(descA, descB, countA, countB, ratio_sq, mesh: Mesh,

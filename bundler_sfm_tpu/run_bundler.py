@@ -110,7 +110,16 @@ def main(argv=None) -> int:
     if n_dev > 1:
         from bundler_sfm_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(n_dev)
-    table = DescriptorTable(descs, mesh=mesh)
+    if mesh is not None:
+        # Production multi-device matcher: image-sharded ppermute ring —
+        # each device holds 1/D of the descriptor table (a replicated
+        # table would not fit at photo-tourism scale).
+        from bundler_sfm_tpu.parallel.matching_sharded import (
+            ShardedDescriptorTable,
+        )
+        table = ShardedDescriptorTable(descs, mesh)
+    else:
+        table = DescriptorTable(descs)
     matches = table.match_pairs(pairs, min_matches=16)
     print(f"[RunBundler] matched {len(matches)}/{len(pairs)} pairs in "
           f"{time.time()-t0:.1f}s")

@@ -245,3 +245,26 @@ def test_ring_sharded_table_matches_single(rng):
     assert set(got.keys()) == set(want.keys())
     for k in want:
         np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_ring_match_pairs_production_entry(rng):
+    """ShardedDescriptorTable.match_pairs (the run_bundler --num_devices
+    matcher) filters the ring output to the requested pair list,
+    bit-identical to the single-device table, honoring min_matches."""
+    from bundler_sfm_tpu.ops.matching import DescriptorTable
+    from bundler_sfm_tpu.parallel.matching_sharded import (
+        ShardedDescriptorTable,
+    )
+    mesh = make_mesh()
+    base = make_descs(rng, 120)
+    descs = [make_descs(rng, 96 + 5 * i, seed_descs=base, n_shared=40)
+             for i in range(10)]
+    # Window-limited pair list (radius 3), like KeyMatchFull's banding.
+    pairs = [(j, i) for i in range(10) for j in range(max(0, i - 3), i)]
+    t1 = DescriptorTable(descs, block=128)
+    want = t1.match_pairs(pairs, min_matches=16)
+    ring = ShardedDescriptorTable(descs, mesh, block=128)
+    got = ring.match_pairs(pairs, min_matches=16)
+    assert set(got.keys()) == set(want.keys())
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
