@@ -59,9 +59,13 @@ def synthetic(num_cams, num_pts, views_per_pt, seed=0):
 
 def main():
     import jax
-    from bundler_sfm_tpu.ops.ba import build_problem, run_ba
+    from bundler_sfm_tpu.ops.ba import (
+        build_problem, plan_schur_windows, run_ba,
+    )
 
-    print("platform:", jax.devices()[0].platform, flush=True)
+    use_window = bool(os.environ.get("BUNDLER_BA_WINDOW"))
+    print("platform:", jax.devices()[0].platform,
+          " windowed:", use_window, flush=True)
     sizes = [(8, 2048, 8), (16, 8192, 8), (32, 32768, 8), (64, 65536, 8)]
     if len(sys.argv) > 1:
         # e.g. "64,65536,8 128,131072,8"
@@ -69,23 +73,35 @@ def main():
                  for s in sys.argv[1:]]
     for (C, P, V) in sizes:
         R0, cam0, pts0, oc, op, oxy = synthetic(C, P, V)
-        prob = build_problem(R0, cam0, pts0, oc, op, oxy,
-                             est_focal=True, est_distortion=True,
-                             dtype=np.float32)
+
+        def build(camx):
+            kw = dict(est_focal=True, est_distortion=True,
+                      dtype=np.float32)
+            if use_window:
+                plan = plan_schur_windows(oc, op, P, C, V)
+                if plan is not None:
+                    row_of, schur_win, Wd, G, total = plan
+                    pts0_r = np.zeros((total, 3), pts0.dtype)
+                    pts0_r[row_of] = pts0
+                    return (build_problem(R0, camx, pts0_r, oc,
+                                          row_of[op].astype(np.int32), oxy,
+                                          schur_win=schur_win, **kw),
+                            Wd, G)
+            return build_problem(R0, camx, pts0, oc, op, oxy, **kw), 0, 0
+
+        prob, Wd, G = build(cam0)
         t0 = time.perf_counter()
-        res = run_ba(prob, max_iters=30)
+        res = run_ba(prob, max_iters=30, window=Wd, group_pts=G)
         float(np.asarray(res.cost))
         compile_dt = time.perf_counter() - t0
-        prob2 = build_problem(R0, cam0 + 1e-6, pts0, oc, op, oxy,
-                              est_focal=True, est_distortion=True,
-                              dtype=np.float32)
+        prob2, _, _ = build(cam0 + 1e-6)
         t0 = time.perf_counter()
-        res = run_ba(prob2, max_iters=30)
+        res = run_ba(prob2, max_iters=30, window=Wd, group_pts=G)
         float(np.asarray(res.cost))
         dt = time.perf_counter() - t0
         it = max(int(res.iters), 1)
         print(f"C={C:4d} P={P:6d} O={len(oc):7d}  iters={it:3d}  "
-              f"{dt/it*1e3:8.2f} ms/iter  "
+              f"W={Wd:3d}  {dt/it*1e3:8.2f} ms/iter  "
               f"{len(oc)*it/dt/1e6:8.2f} Mobs*iters/s  "
               f"(compile+run {compile_dt:.1f}s)", flush=True)
 

@@ -110,6 +110,9 @@ class BAProblem(NamedTuple):
     views_obs: jnp.ndarray        # [P,M] int32 obs index per point view (pad 0)
     views_mask: jnp.ndarray       # [P,M] bool
     cam_scale: jnp.ndarray        # [9] per-param scale s (LM solves q = s∘x)
+    schur_win: Optional[jnp.ndarray] = None  # [nwin] int32 window starts for
+    # the covisibility-windowed Schur assembly (None = full-C assembly);
+    # group g = points [g*group_pts, (g+1)*group_pts), see assemble_schur_off
 
 
 class BAResult(NamedTuple):
@@ -169,6 +172,7 @@ def build_problem(
     pad_obs: Optional[int] = None,
     max_views: Optional[int] = None,
     param_scale: Optional[np.ndarray] = None,  # [9]; default f/k scaling
+    schur_win: Optional[np.ndarray] = None,    # [nwin] window starts
     dtype=np.float64,
 ) -> BAProblem:
     """Pad + mask a host-side problem into a static-shape BAProblem.
@@ -261,7 +265,94 @@ def build_problem(
         cam_scale=jnp.asarray(
             np.array([1, 1, 1, 1, 1, 1, F_SCALE, K_SCALE, K_SCALE])
             if param_scale is None else param_scale, dtype=dtype),
+        schur_win=(jnp.asarray(schur_win, jnp.int32)
+                   if schur_win is not None else None),
     )
+
+
+def plan_schur_windows(obs_cam, obs_pt, num_points: int, num_cams: int,
+                       max_views: int,
+                       min_cameras: int = 192,
+                       windows=(32, 64, 128),
+                       group_budget: int = 1 << 23):
+    """Host-side plan for the covisibility-windowed Schur assembly.
+
+    Incremental SfM's covisibility is local: with cameras in added order,
+    almost every point's observing-camera ids span a narrow range (the
+    sparse structure sba's CRS vmask encodes, `lib/sba-1.5/sba.h:70-78`).
+    Pick a window width W, assign each point whose [lo, hi] camera span
+    fits a half-overlapping window [k·W/2, k·W/2+W) to that window, split
+    windows into groups of `group_pts` points, and return the point-row
+    permutation that lays groups out contiguously:
+
+      (row_of [num_points] int32, schur_win [nwin] int32, window,
+       group_pts, total_rows)
+
+    row_of[p] is the BA point row of input point p; rows not hit are group
+    padding (dummy zero-observation points).  Wide-span points (e.g. loop
+    closures) go to rows [nwin·group_pts, total_rows) and run the full-C
+    assembly.  Returns None when windowing isn't worth it (few cameras,
+    wide spans, or excessive padding) — callers then use window=0."""
+    C = num_cams
+    if C < min_cameras or num_points == 0:
+        return None
+    obs_cam = np.asarray(obs_cam)
+    obs_pt = np.asarray(obs_pt)
+    lo = np.full(num_points, np.iinfo(np.int64).max, np.int64)
+    hi = np.full(num_points, -1, np.int64)
+    np.minimum.at(lo, obs_pt, obs_cam)
+    np.maximum.at(hi, obs_pt, obs_cam)
+    empty = hi < 0
+    lo[empty] = 0
+    hi[empty] = 0
+
+    best = None
+    for Wd in windows:
+        if 2 * Wd > C:
+            break
+        half = Wd // 2
+        w_idx = np.minimum(lo // half, (C - Wd) // half)
+        narrow = hi < w_idx * half + Wd
+        n_narrow = int(narrow.sum())
+        cost = (Wd * 9) ** 2 * n_narrow \
+            + (C * 9) ** 2 * (num_points - n_narrow)
+        if best is None or cost < best[0]:
+            best = (cost, Wd, w_idx, narrow)
+    if best is None or best[0] > 0.5 * (C * 9) ** 2 * num_points:
+        return None
+    _, Wd, w_idx, narrow = best
+    half = Wd // 2
+
+    gmax = max(256, group_budget // (Wd * max(max_views, 1)))
+    counts = np.bincount(w_idx[narrow])
+    live_w = np.nonzero(counts)[0]
+    if len(live_w) == 0:
+        return None
+    G = int(min(gmax, max(256, int(np.percentile(counts[live_w], 90)))))
+    G = ((G + 63) // 64) * 64
+    nwin = int(sum(-(-int(c) // G) for c in counts[live_w]))
+    n_narrow = int(narrow.sum())
+    if nwin * G > 2 * n_narrow + 8 * G:
+        return None   # padding waste would exceed the contraction win
+
+    row_of = np.full(num_points, -1, np.int64)
+    schur_win = np.zeros(nwin, np.int32)
+    row = 0
+    g = 0
+    for w in live_w:
+        pts_w = np.nonzero(narrow & (w_idx == w))[0]
+        start = int(min(w * half, C - Wd))
+        for s in range(0, len(pts_w), G):
+            chunk = pts_w[s:s + G]
+            row_of[chunk] = row + np.arange(len(chunk))
+            schur_win[g] = start
+            row += G
+            g += 1
+    assert g == nwin and row == nwin * G
+    wide = np.nonzero(~narrow)[0]
+    row_of[wide] = row + np.arange(len(wide))
+    total = row + len(wide)
+    return row_of.astype(np.int32), schur_win, int(Wd), int(G), int(total)
 
 
 # --------------------------------------------------------------------------
@@ -569,7 +660,78 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
     return U, V, W, g_c, g_p, cost
 
 
-def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
+def _schur_dense_tables(yp, wp, slots, mask, width, starts, dtype):
+    """Per-point dense camera tables over a `width`-camera window.
+
+    yp/wp [B,M,9,3], slots [B,M] global camera ids, mask [B,M], starts
+    [B] window start per point (0 for the full-C path).  Per-point one-hot
+    [B,M,width] contracted against the slot data as a BATCHED MXU matmul:
+    yt[b] = ohᵀ[b]·yp[b].  Exact in f32: each (point, camera) output sums
+    at most ONE slot (a track never revisits an image,
+    src/ComputeTracks.cpp:171), so no accumulation rounding is possible;
+    f32 single-pass keeps the values bit-exact.  Replaces a [C,B,M,27]
+    broadcast-reduce that streamed C× the slot data through the VPU."""
+    M = yp.shape[1]
+    iota_w = jnp.arange(width, dtype=slots.dtype)
+    local = slots - starts[:, None]                      # [B,M]
+    oh = ((local[:, :, None] == iota_w[None, None, :])
+          & mask[:, :, None]).astype(dtype)              # [B,M,width]
+    B = yp.shape[0]
+    ypf = yp.reshape(B, M, CNP * PNP)
+    wpf = wp.reshape(B, M, CNP * PNP)
+    dn = (((1,), (1,)), ((0,), (0,)))                    # contract M
+    yt = jax.lax.dot_general(oh, ypf, dn,
+                             precision=jax.lax.Precision.HIGHEST)
+    wt = jax.lax.dot_general(oh, wpf, dn,
+                             precision=jax.lax.Precision.HIGHEST)
+    # [B,width,27] → [width,B,9,3]
+    return (yt.transpose(1, 0, 2).reshape(width, B, CNP, PNP),
+            wt.transpose(1, 0, 2).reshape(width, B, CNP, PNP))
+
+
+def _schur_block(yt, wt):
+    # contract (point, 3): [w,B,9,3] × [w,B,9,3] → [w,9,w,9]
+    return jax.lax.dot_general(
+        yt, wt, (((1, 3), (1, 3)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _schur_dense_full(Yp, Wp, cam_of_slot, maskp, C, dtype):
+    """Full-C factorized dense-table assembly of −S contribution [C,9,C,9]
+    for a point slice (the S layout before the final transpose)."""
+    P, M = maskp.shape
+    zstart = jnp.zeros(P, dtype=cam_of_slot.dtype)
+    chunk = max(1, _SCHUR_CHUNK_BUDGET // (C * CNP * PNP))
+    if chunk >= P:
+        yt, wt = _schur_dense_tables(Yp, Wp, cam_of_slot, maskp, C,
+                                     zstart, dtype)
+        return -_schur_block(yt, wt)
+    nchunk = -(-P // chunk)
+    pad = nchunk * chunk - P
+    Yc = jnp.pad(Yp, ((0, pad), (0, 0), (0, 0), (0, 0))) \
+        .reshape(nchunk, chunk, M, CNP, PNP)
+    Wc = jnp.pad(Wp, ((0, pad), (0, 0), (0, 0), (0, 0))) \
+        .reshape(nchunk, chunk, M, CNP, PNP)
+    Sc = jnp.pad(cam_of_slot, ((0, pad), (0, 0))) \
+        .reshape(nchunk, chunk, M)
+    Mc = jnp.pad(maskp, ((0, pad), (0, 0))) \
+        .reshape(nchunk, chunk, M)
+    # Zero init derived from Y so the carry's device-varying type
+    # matches the body's output under shard_map.
+    S0 = jnp.zeros((C, CNP, C, CNP), dtype) + 0.0 * Yp[0, 0, 0, 0]
+    zs = jnp.zeros(chunk, dtype=cam_of_slot.dtype)
+
+    def chunk_step(S, args):
+        yp, wp, slots, mask = args
+        yt, wt = _schur_dense_tables(yp, wp, slots, mask, C, zs, dtype)
+        return S - _schur_block(yt, wt), None
+
+    S, _ = jax.lax.scan(chunk_step, S0, (Yc, Wc, Sc, Mc))
+    return S
+
+
+def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int,
+                       window: int = 0, group_pts: int = 0):
     """Off-diagonal (point-coupled) part of the reduced camera system.
 
     S_off[j,k] = − Σ_i Σ_{a,b ∈ views(i)} Y_a W_bᵀ  (cam(a)=j, cam(b)=k) and
@@ -585,18 +747,23 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
                                   = Ỹ[i,j] · W̃[i,k]ᵀ
 
     with Ỹ/W̃ the per-point dense camera tables (zero where unobserved).
-    The whole S_off then collapses to ONE MXU contraction
-    Ỹ [C,P,9,3] × W̃ [C,P,9,3] over (P, 3).  The dense tables are built by a
-    one-hot broadcast-reduce over the view slots — pure VPU streaming, no
-    gathers and no scatters (TPU gathers run at ~10 M rows/s and dominated a
-    gather-table variant of this assembly; XLA:TPU's scatter-add serializes
-    on colliding camera indices, which sank the original segment-sum
-    variant).  Exact f32 via precision=HIGHEST.
+    S_off then collapses to MXU contractions Ỹ × W̃ over (P, 3) — no
+    gathers and no scatters (TPU gathers run at ~10 M rows/s; XLA:TPU's
+    scatter-add serializes on colliding camera indices, which sank the
+    original segment-sum variant).  Exact f32 via precision=HIGHEST.
 
-    Memory is bounded by chunking points: HBM peak is the two [C,B,27]
-    chunk tables; traffic scales as C·O·27, so this is the right shape for
-    the ≤ a-few-hundred-camera problems incremental SfM produces.  A
-    slot-row scatter fallback remains for the huge-C·P regime.
+    COVISIBILITY WINDOWING (window > 0, group_pts > 0): the full-C block
+    contraction costs (C·9)²·3·P FLOPs — the 256+-camera per-iteration
+    cliff (sba_levmar.c's CRS loops touch only covisible pairs; this is
+    our sparse analogue).  A point only couples the ≤ window cameras that
+    observe it, so the host sorts points into groups of `group_pts` whose
+    camera ids all fit one `window`-wide id range (prob.schur_win [nwin]
+    holds each group's window start; incremental SfM covisibility makes
+    almost every point narrow-span).  Each group contracts against its
+    window only — (window·9)²·3·P — and its [w9, w9] block is added into
+    S at the window offset.  Points beyond nwin·group_pts (wide-span
+    remainder + padding) run the full-C path.  Bit-exact vs the full
+    path: every camera pair a point couples lies inside its window.
     """
     C = num_cameras
     P, M = prob.views_obs.shape
@@ -607,67 +774,43 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int):
     contrib = jnp.sum(Y * gpo[:, None, :], axis=2)
     rhs_off = -_segsum_onehot(contrib, prob.obs_cam, C)
 
-    if P * C <= _PC_TABLE_BUDGET:
+    windowed = window > 0 and group_pts > 0 and window < C
+    if windowed or P * C <= _PC_TABLE_BUDGET:
         cam_of_slot = prob.obs_cam.reshape(P, M)        # [P,M]
         Yp = Y.reshape(P, M, CNP, PNP)                  # [P,M,9,3]
         Wp = W.reshape(P, M, CNP, PNP)                  # [P,M,9,3]
         maskp = prob.views_mask                         # [P,M]
 
-        iota_c = jnp.arange(C, dtype=cam_of_slot.dtype)
-
-        def dense_tables(yp, wp, slots, mask):
-            # Per-point one-hot [B,M,C] contracted against the slot data as
-            # a BATCHED MXU matmul: yt[b] = ohᵀ[b]·yp[b].  Exact in f32:
-            # each (point, camera) output sums at most ONE slot (a track
-            # never revisits an image, src/ComputeTracks.cpp:171), so no
-            # accumulation rounding is possible; f32 single-pass keeps the
-            # values bit-exact.  Replaces a [C,B,M,27] broadcast-reduce that
-            # streamed C× the slot data through the VPU.
-            oh = ((slots[:, :, None] == iota_c[None, None, :])
-                  & mask[:, :, None]).astype(dtype)          # [B,M,C]
-            B = yp.shape[0]
-            ypf = yp.reshape(B, M, CNP * PNP)
-            wpf = wp.reshape(B, M, CNP * PNP)
-            dn = (((1,), (1,)), ((0,), (0,)))                # contract M
-            yt = jax.lax.dot_general(oh, ypf, dn,
-                                     precision=jax.lax.Precision.HIGHEST)
-            wt = jax.lax.dot_general(oh, wpf, dn,
-                                     precision=jax.lax.Precision.HIGHEST)
-            # [B,C,27] → [C,B,9,3]
-            return (yt.transpose(1, 0, 2).reshape(C, B, CNP, PNP),
-                    wt.transpose(1, 0, 2).reshape(C, B, CNP, PNP))
-
-        def block(yt, wt):
-            # contract (point, 3): [C,B,9,3] × [C,B,9,3] → [C,9,C,9]
-            return jax.lax.dot_general(
-                yt, wt, (((1, 3), (1, 3)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST)
-
-        chunk = max(1, _SCHUR_CHUNK_BUDGET // (C * CNP * PNP))
-        if chunk >= P:
-            yt, wt = dense_tables(Yp, Wp, cam_of_slot, maskp)
-            S = -block(yt, wt)
-        else:
-            nchunk = -(-P // chunk)
-            pad = nchunk * chunk - P
-            Yc = jnp.pad(Yp, ((0, pad), (0, 0), (0, 0), (0, 0))) \
-                .reshape(nchunk, chunk, M, CNP, PNP)
-            Wc = jnp.pad(Wp, ((0, pad), (0, 0), (0, 0), (0, 0))) \
-                .reshape(nchunk, chunk, M, CNP, PNP)
-            Sc = jnp.pad(cam_of_slot, ((0, pad), (0, 0))) \
-                .reshape(nchunk, chunk, M)
-            Mc = jnp.pad(maskp, ((0, pad), (0, 0))) \
-                .reshape(nchunk, chunk, M)
-            # Zero init derived from Y so the carry's device-varying type
-            # matches the body's output under shard_map.
+        if windowed:
+            nwin = prob.schur_win.shape[0]
+            Pw = nwin * group_pts
             S0 = jnp.zeros((C, CNP, C, CNP), dtype) + 0.0 * Y[0, 0, 0]
+            Yw = Yp[:Pw].reshape(nwin, group_pts, M, CNP, PNP)
+            Ww = Wp[:Pw].reshape(nwin, group_pts, M, CNP, PNP)
+            Sw = cam_of_slot[:Pw].reshape(nwin, group_pts, M)
+            Mw = maskp[:Pw].reshape(nwin, group_pts, M)
+            starts = prob.schur_win.astype(cam_of_slot.dtype)
 
-            def chunk_step(S, args):
-                yp, wp, slots, mask = args
-                yt, wt = dense_tables(yp, wp, slots, mask)
-                return S - block(yt, wt), None
+            def win_step(S, args):
+                yp, wp, slots, mask, start = args
+                yt, wt = _schur_dense_tables(
+                    yp, wp, slots, mask, window,
+                    jnp.full((group_pts,), start, slots.dtype), dtype)
+                blk = _schur_block(yt, wt)               # [w,9,w,9]
+                zi = jnp.zeros((), jnp.int32)
+                st = start.astype(jnp.int32)
+                old = jax.lax.dynamic_slice(
+                    S, (st, zi, st, zi), (window, CNP, window, CNP))
+                return jax.lax.dynamic_update_slice(
+                    S, old - blk, (st, zi, st, zi)), None
 
-            S, _ = jax.lax.scan(chunk_step, S0, (Yc, Wc, Sc, Mc))
+            S, _ = jax.lax.scan(win_step, S0, (Yw, Ww, Sw, Mw, starts))
+            if Pw < P:
+                S = S + _schur_dense_full(Yp[Pw:], Wp[Pw:],
+                                          cam_of_slot[Pw:], maskp[Pw:],
+                                          C, dtype)
+        else:
+            S = _schur_dense_full(Yp, Wp, cam_of_slot, maskp, C, dtype)
         S_off = S.transpose(0, 2, 1, 3)
         return S_off, rhs_off
 
@@ -847,7 +990,8 @@ def _solve_schur_cg_sharded(U_aug, Y, W, rhs, prob: BAProblem, axis: str,
 def _lm_loop(prob: BAProblem, max_iters: int, fix_points: bool,
              tau, eps1, eps2, loss: str, huber_param, solver: str,
              axis: Optional[str] = None,
-             state0=None, it_hi=None):
+             state0=None, it_hi=None,
+             window: int = 0, group_pts: int = 0):
     """The LM while-loop shared by run_ba, the fused outlier loop, and the
     point-sharded distributed BA.  Starts from prob.cam0/pts0 (w live in
     cam[:,3:6]); returns (cam, pts, cost, cost0, iters, mu) with w NOT yet
@@ -888,7 +1032,9 @@ def _lm_loop(prob: BAProblem, max_iters: int, fix_points: bool,
                 _segsum_onehot(contrib, prob.obs_cam, C), axis)
             dcam = _solve_schur_cg_sharded(U_aug, Y, W, rhs, prob, axis)
         else:
-            S_off, rhs_off = assemble_schur_off(Y, W, g_p, prob, C)
+            S_off, rhs_off = assemble_schur_off(Y, W, g_p, prob, C,
+                                                window=window,
+                                                group_pts=group_pts)
             S_off = _psum(S_off, axis)
             rhs = g_c + _psum(rhs_off, axis)
             S = S_off.at[jnp.arange(C), jnp.arange(C)].add(U_aug)
@@ -968,16 +1114,18 @@ def _lm_loop(prob: BAProblem, max_iters: int, fix_points: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "fix_points",
-                                              "loss", "solver"))
+                                             "loss", "solver", "window",
+                                             "group_pts"))
 def _run_ba_fused(prob: BAProblem, max_iters: int = 150,
                   fix_points: bool = False,
                   tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12,
                   loss: str = "l2", huber_param: float = 25.0,
-                  solver: str = "cholesky") -> BAResult:
+                  solver: str = "cholesky", window: int = 0,
+                  group_pts: int = 0) -> BAResult:
     """The whole LM run as ONE device program (the normal case)."""
     cam, pts, cost, cost0, iters, mu, _ = _lm_loop(
         prob, max_iters, fix_points, tau, eps1, eps2, loss, huber_param,
-        solver)
+        solver, window=window, group_pts=group_pts)
     # Fold w into R (run_sfm epilogue, sfm.c:876-929).
     R = jax.vmap(rot_update)(prob.R0, cam[:, 3:6])
     cam_out = cam.at[:, 3:6].set(0.0)
@@ -989,7 +1137,8 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
            tau: float = 1e-3, eps1: float = 1e-10, eps2: float = 1e-12,
            loss: str = "l2", huber_param: float = 25.0,
            solver: str = "cholesky",
-           chunked: Optional[bool] = None) -> BAResult:
+           chunked: Optional[bool] = None,
+           window: int = 0, group_pts: int = 0) -> BAResult:
     """Levenberg-Marquardt with Schur complement; mirrors run_sfm's SBA call
     (MAX_ITERS=150 `sfm.c:814`, opts `sfm.c:705-714`).
 
@@ -1008,9 +1157,10 @@ def run_ba(prob: BAProblem, max_iters: int = 150, fix_points: bool = False,
         return run_ba_chunked(prob, max_iters=max_iters,
                               fix_points=fix_points, tau=tau, eps1=eps1,
                               eps2=eps2, loss=loss,
-                              huber_param=huber_param, solver=solver)
+                              huber_param=huber_param, solver=solver,
+                              window=window, group_pts=group_pts)
     return _run_ba_fused(prob, max_iters, fix_points, tau, eps1, eps2,
-                         loss, huber_param, solver)
+                         loss, huber_param, solver, window, group_pts)
 
 
 class LMState(NamedTuple):
@@ -1025,26 +1175,31 @@ class LMState(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "fix_points",
-                                             "loss", "solver"))
+                                             "loss", "solver", "window",
+                                             "group_pts"))
 def _lm_start(prob: BAProblem, it_hi, max_iters: int, fix_points: bool,
-              tau, eps1, eps2, loss: str, huber_param, solver: str):
+              tau, eps1, eps2, loss: str, huber_param, solver: str,
+              window: int = 0, group_pts: int = 0):
     """First chunk of a resumable LM run: init + up to `it_hi` iterations.
     Returns (cost0, state)."""
     _, _, _, cost0, _, _, st = _lm_loop(
         prob, max_iters, fix_points, tau, eps1, eps2, loss, huber_param,
-        solver, it_hi=it_hi)
+        solver, it_hi=it_hi, window=window, group_pts=group_pts)
     return cost0, LMState(*st)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "fix_points",
-                                             "loss", "solver"))
+                                             "loss", "solver", "window",
+                                             "group_pts"))
 def _lm_resume(prob: BAProblem, state: LMState, it_hi, max_iters: int,
                fix_points: bool, tau, eps1, eps2, loss: str, huber_param,
-               solver: str) -> "LMState":
+               solver: str, window: int = 0,
+               group_pts: int = 0) -> "LMState":
     """Continue a resumable LM run up to iteration `it_hi`."""
     _, _, _, _, _, _, st = _lm_loop(
         prob, max_iters, fix_points, tau, eps1, eps2, loss, huber_param,
-        solver, state0=tuple(state), it_hi=it_hi)
+        solver, state0=tuple(state), it_hi=it_hi, window=window,
+        group_pts=group_pts)
     return LMState(*st)
 
 
@@ -1066,18 +1221,18 @@ def run_ba_chunked(prob: BAProblem, max_iters: int = 150,
                    tau: float = 1e-3, eps1: float = 1e-10,
                    eps2: float = 1e-12, loss: str = "l2",
                    huber_param: float = 25.0, solver: str = "cholesky",
-                   first_chunk: int = 15) -> BAResult:
+                   first_chunk: int = 15, window: int = 0,
+                   group_pts: int = 0) -> BAResult:
     """run_ba split across multiple device executions (state stays
     device-resident between chunks; only `it`/`done` round-trip).  The
     chunk size adapts to the measured per-iteration wall time so each
     dispatch stays under _EXEC_TARGET_S."""
     import time as _time
-    args = (max_iters, fix_points, tau, eps1, eps2, loss, huber_param,
-            solver)
     t0 = _time.perf_counter()
     chunk = min(first_chunk, max_iters)
     cost0, st = _lm_start(prob, jnp.int32(chunk), max_iters, fix_points,
-                          tau, eps1, eps2, loss, huber_param, solver)
+                          tau, eps1, eps2, loss, huber_param, solver,
+                          window, group_pts)
     it = int(st.it)
     done = bool(st.done)
     wall = _time.perf_counter() - t0
@@ -1088,7 +1243,7 @@ def run_ba_chunked(prob: BAProblem, max_iters: int = 150,
         t0 = _time.perf_counter()
         st = _lm_resume(prob, st, jnp.int32(it + chunk), max_iters,
                         fix_points, tau, eps1, eps2, loss, huber_param,
-                        solver)
+                        solver, window, group_pts)
         new_it = int(st.it)
         done = bool(st.done)
         wall = _time.perf_counter() - t0
@@ -1204,6 +1359,7 @@ def _outlier_loop_core(
     outlier_factor, min_thresh, max_thresh, min_outliers: int,
     min_points: int, max_passes: int, remove_outliers: bool,
     axis: Optional[str] = None,
+    window: int = 0, group_pts: int = 0,
 ) -> BAOutlierResult:
     """`RunSFM_SBA`'s full outer loop — BA, per-camera reprojection stats,
     adaptive outlier threshold, point removal, re-bundle while more than
@@ -1239,7 +1395,8 @@ def _outlier_loop_core(
             p = prob._replace(R0=R0c, cam0=cam, pts0=pts, obs_valid=ov)
             cam1, pts1, cost, cost0, iters, _, _st = _lm_loop(
                 p, max_iters, fix_points, tau, eps1, eps2, loss,
-                huber_param, solver, axis=axis)
+                huber_param, solver, axis=axis, window=window,
+                group_pts=group_pts)
             # Fold w into the carried base rotations for the next pass.
             R1 = jax.vmap(rot_update)(R0c, cam1[:, 3:6])
             cam1 = cam1.at[:, 3:6].set(0.0)
@@ -1329,7 +1486,7 @@ def _outlier_loop_core(
 
 @functools.partial(jax.jit, static_argnames=(
     "max_iters", "fix_points", "loss", "solver", "max_passes",
-    "remove_outliers"))
+    "remove_outliers", "window", "group_pts"))
 def run_ba_outlier_loop(
     prob: BAProblem, cam_obs: jnp.ndarray, cam_obs_mask: jnp.ndarray,
     max_iters: int = 150, fix_points: bool = False,
@@ -1338,6 +1495,7 @@ def run_ba_outlier_loop(
     outlier_factor: float = 2.4, min_thresh: float = 8.0,
     max_thresh: float = 16.0, min_outliers: int = 40, min_points: int = 8,
     max_passes: int = 8, remove_outliers: bool = True,
+    window: int = 0, group_pts: int = 0,
 ) -> BAOutlierResult:
     """Single-device entry for the fused BA + outlier-removal loop; see
     _outlier_loop_core.  The point-sharded variant is
@@ -1346,7 +1504,7 @@ def run_ba_outlier_loop(
         prob, cam_obs, cam_obs_mask, max_iters, fix_points, tau, eps1,
         eps2, loss, huber_param, solver, outlier_factor, min_thresh,
         max_thresh, min_outliers, min_points, max_passes, remove_outliers,
-        axis=None)
+        axis=None, window=window, group_pts=group_pts)
 
 
 @functools.partial(jax.jit, static_argnames=("remove_outliers",))
@@ -1382,6 +1540,7 @@ def run_ba_outlier_loop_chunked(
     outlier_factor: float = 2.4, min_thresh: float = 8.0,
     max_thresh: float = 16.0, min_outliers: int = 40, min_points: int = 8,
     max_passes: int = 8, remove_outliers: bool = True,
+    window: int = 0, group_pts: int = 0,
 ) -> BAOutlierResult:
     """Host-driven variant of run_ba_outlier_loop for problems whose fused
     program would exceed the per-execution limit of the backend (see
@@ -1414,7 +1573,8 @@ def run_ba_outlier_loop_chunked(
         p = prob._replace(R0=R0c, cam0=cam, pts0=pts, obs_valid=ov)
         res = run_ba_chunked(p, max_iters=max_iters, fix_points=fix_points,
                              tau=tau, eps1=eps1, eps2=eps2, loss=loss,
-                             huber_param=huber_param, solver=solver)
+                             huber_param=huber_param, solver=solver,
+                             window=window, group_pts=group_pts)
         cam, pts, R0c = res.cam, res.pts, res.R
         iters_tot += int(res.iters)
         if cost_i is None:

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,34 +32,19 @@ import numpy as np
 
 _BIG = jnp.float32(3.0e38)
 
-# db bytes allowed resident in VMEM for the fused Pallas kernel (the kernel
-# streams 512-row blocks of a VMEM-resident table; ~16 MB/core total, leave
-# room for the query tile, bf16 copies, and the [TQ, BD] distance tile).
-_PALLAS_DB_BYTES = 8 * 1024 * 1024
-
 
 def _pallas_eligible(nq: int, nd: int, itemsize: int = 4) -> bool:
     """Trace-time gate for the fused Pallas 2-NN (matching_pallas.py):
-    TPU backend, tile-aligned shapes, db small enough to live in VMEM.
-
-    On by default on local TPU hardware.  Off by default on the axon
-    remote-TPU tunnel: the compile-cache key IS deterministic across
-    processes (verified component-by-component, contrary to round 1's
-    attribution), but the remote service pays a per-process executable
-    load of 1.5-400 s per program (eviction-dependent), and the big
-    vmapped Mosaic program stalled a full bench run past 28 minutes.  On
-    local hardware none of that exists.  BUNDLER_PALLAS_MATCH=1 forces it
-    on through the tunnel; BUNDLER_NO_PALLAS_MATCH=1 disables everywhere."""
+    TPU backend + tile-aligned shapes.  The kernel streams db blocks from
+    HBM through the grid (double-buffered DMA), so there is no db-size
+    limit.  BUNDLER_NO_PALLAS_MATCH=1 falls back to the XLA path
+    everywhere (the escape hatch for backends where Mosaic misbehaves)."""
     if os.environ.get("BUNDLER_NO_PALLAS_MATCH"):
         return False
     if jax.default_backend() == "cpu":
         return False
-    if ("axon" in (jax.config.jax_platforms or "")
-            and not os.environ.get("BUNDLER_PALLAS_MATCH")):
-        return False
     from .matching_pallas import BD, TQ
-    return (nq % TQ == 0 and nd % BD == 0
-            and nd * 128 * itemsize <= _PALLAS_DB_BYTES)
+    return nq % TQ == 0 and nd % BD == 0
 
 
 def _two_nn_best(query, db, db_count, block):
@@ -392,15 +377,19 @@ class DescriptorTable:
         self.counts = jax.device_put(counts)
 
     def match_pairs(self, pairs: Sequence[Tuple[int, int]],
-                    ratio: float = 0.6, batch: int = 256,
+                    ratio: float = 0.6, batch: Optional[int] = None,
                     min_matches: int = 0,
                     max_out: int = 2048) -> "Dict[Tuple[int,int], np.ndarray]":
-        # batch = pairs per dispatch.  Each lane peaks at one [block, block]
-        # f32 distance tile (16 MB at block=2048), so 256 lanes stay well
-        # inside one chip's HBM while amortizing dispatch latency (~80 ms on
-        # the tunnel) over the whole batch.
-        out: Dict[Tuple[int, int], np.ndarray] = {}
+        # batch = pairs per dispatch.  On the XLA fallback each lane peaks
+        # at one [block, block] f32 distance tile (16 MB at block=2048), so
+        # 256 lanes bound HBM; the fused Pallas kernel never materializes
+        # the tile, so it takes 4x the lanes per dispatch — dispatch
+        # latency (~50-80 ms on the tunnel) amortizes over the batch.
         K = self.table.shape[1]
+        if batch is None:
+            batch = 1024 if _pallas_eligible(
+                K, K, jnp.dtype(self.table.dtype).itemsize) else 256
+        out: Dict[Tuple[int, int], np.ndarray] = {}
         # Masked-row wire format when indices fit int16: one [K] row per
         # pair (2 bytes/query, no device argsort, no match cap) — half the
         # transfer of the compacted [max_out, 2] format.  Falls back to the
@@ -446,11 +435,18 @@ class DescriptorTable:
         for chunk, m, cnt in results:
             m = np.asarray(m)
             if cnt is None:
+                # ONE vectorized nonzero over the whole batch (a per-pair
+                # Python loop of nonzeros costs ~0.1 ms × B on the host).
+                rows, cols = np.nonzero(m >= 0)
+                vals = m[rows, cols].astype(np.int32)
+                counts = np.bincount(rows, minlength=len(m))
+                offs = np.concatenate([[0], np.cumsum(counts)])
+                cols = cols.astype(np.int32)
                 for p, (i, j) in enumerate(chunk):
-                    idx1 = np.nonzero(m[p] >= 0)[0].astype(np.int32)
-                    if len(idx1) >= min_matches:
-                        out[(i, j)] = np.stack(
-                            [idx1, m[p, idx1].astype(np.int32)], axis=1)
+                    a, b = offs[p], offs[p + 1]
+                    if b - a >= min_matches:
+                        out[(i, j)] = np.stack([cols[a:b], vals[a:b]],
+                                               axis=1)
                 continue
             cnt = np.asarray(cnt)
             for p, (i, j) in enumerate(chunk):

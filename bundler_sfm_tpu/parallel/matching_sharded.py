@@ -102,7 +102,7 @@ class ShardedDescriptorTable:
 
     def __init__(self, descs: Sequence[np.ndarray], mesh: Mesh,
                  block: int = 2048):
-        from jax.sharding import NamedSharding
+        from bundler_sfm_tpu.parallel.mesh import globalize
         self.mesh = mesh
         D = mesh.devices.size
         maxk = max((len(d) for d in descs), default=1) or 1
@@ -119,20 +119,20 @@ class ShardedDescriptorTable:
         for i, d in enumerate(descs):
             table[i // I, i % I, :len(d)] = _prep_desc(d)
             counts[i // I, i % I] = len(d)
-        sh = NamedSharding(mesh, P(AXIS))
-        self.table = jax.device_put(table, sh)
-        self.counts = jax.device_put(counts, sh)
+        self.table = globalize(table, mesh, P(AXIS))
+        self.counts = globalize(counts, mesh, P(AXIS))
 
     def match_all_pairs(self, ratio: float = 0.6, min_matches: int = 16,
                         max_out: int = 2048
                         ) -> Dict[Tuple[int, int], np.ndarray]:
         max_out = min(max_out, self.table.shape[2])
         out_dtype = jnp.int16 if self.table.shape[2] <= 32767 else jnp.int32
+        from bundler_sfm_tpu.parallel.mesh import fetch
         m, c = _ring_match_all_pairs(
             self.table, self.counts, jnp.float32(ratio * ratio), self.mesh,
             self.block, max_out, out_dtype)
-        m = np.asarray(m)
-        c = np.asarray(c)
+        m = fetch(m, self.mesh)
+        c = fetch(c, self.mesh)
         D, _, I = c.shape[:3]
         out: Dict[Tuple[int, int], np.ndarray] = {}
         for d in range(D):

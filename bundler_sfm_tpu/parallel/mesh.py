@@ -34,3 +34,32 @@ def initialize_multihost(coordinator: Optional[str] = None,
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
+
+
+def globalize(arr, mesh: Mesh, spec: P):
+    """Host array -> jax.Array laid out per `spec` on `mesh`.
+
+    Single-process: a plain device transfer.  Multi-process (mesh spanning
+    hosts): every process holds the SAME host array (SPMD host replication)
+    and contributes its addressable shards — the standard jax multihost
+    input path (`make_array_from_callback`)."""
+    import jax.numpy as jnp
+    if arr is None:
+        return None
+    if jax.process_count() == 1:
+        return jnp.asarray(arr)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx])
+
+
+def fetch(x, mesh: Mesh) -> np.ndarray:
+    """Device array -> host numpy on EVERY process.
+
+    A mesh-sharded output is not fully addressable on a multi-process mesh;
+    reshard it to replicated (one cross-host all-gather) before pulling to
+    the host.  Single-process: a plain np.asarray."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    y = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(x)
+    return np.asarray(y)

@@ -435,10 +435,14 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             # the mesh, cameras replicated — same fused loop under
             # shard_map (SURVEY.md §2.4 distributed-BA row).
             from bundler_sfm_tpu.parallel.ba_sharded import (
-                build_cam_obs_table_sharded, run_ba_outlier_loop_sharded,
-                shard_problem, unshard_flat, unshard_points,
+                _SHARDED_FIELDS, build_cam_obs_table_sharded,
+                run_ba_outlier_loop_sharded, shard_problem, unshard_flat,
+                unshard_points,
             )
-            from bundler_sfm_tpu.parallel.mesh import make_mesh
+            from bundler_sfm_tpu.parallel.mesh import (
+                fetch, globalize, make_mesh,
+            )
+            from jax.sharding import PartitionSpec as PS
             mesh = make_mesh(D)
             Pp_s = _bucket(-(-len(live) // D), 64)
             probS = shard_problem(
@@ -451,18 +455,47 @@ def run_sfm(recon: Reconstruction, scene: Scene,
                 pad_pts_per_shard=Pp_s, dtype=_dt(cfg))
             cam_obs, cam_obs_mask = build_cam_obs_table_sharded(
                 obs_cam, obs_pt, D, Cp, Pp_s, Mp, Sp)
+            # Multi-process meshes need globally-laid-out inputs (every
+            # process holds the same host copy and contributes its
+            # addressable shards); single-process this is a plain transfer.
+            from bundler_sfm_tpu.ops.ba import BAProblem as _BAP
+            probS = _BAP(**{
+                f: globalize(getattr(probS, f), mesh,
+                             PS("shard") if f in _SHARDED_FIELDS else PS())
+                for f in _BAP._fields})
             with stage("ba"):
                 counter("dispatches")
                 res = run_ba_outlier_loop_sharded(
-                    probS, jnp.asarray(cam_obs), jnp.asarray(cam_obs_mask),
+                    probS, globalize(cam_obs, mesh, PS()),
+                    globalize(cam_obs_mask, mesh, PS()),
                     mesh, **ba_kw)
                 get_telemetry().add("ba_observations",
                                     float(len(obs_cam)) * float(res.iters))
-            pts = unshard_points(np.asarray(res.pts), len(live))
-            removed_arr = unshard_flat(np.asarray(res.pt_removed),
+            pts = unshard_points(fetch(res.pts, mesh), len(live))
+            removed_arr = unshard_flat(fetch(res.pt_removed, mesh),
                                        len(live))
         else:
-            Pp = _bucket(len(live), 256)
+            # Covisibility-windowed Schur assembly at high camera counts:
+            # the full-C block contraction is (Cp·9)²·3·P FLOPs per LM
+            # iteration — the 256+-camera cliff (VERDICT r2).  The planner
+            # reorders points into camera-window groups; dummy padding
+            # rows between groups have no observations.
+            from bundler_sfm_tpu.ops.ba import plan_schur_windows
+            plan = plan_schur_windows(obs_cam, obs_pt, len(live), Cp, Mp)
+            if plan is not None:
+                row_of, schur_win, win_w, win_g, n_rows = plan
+                pts0_r = np.zeros((n_rows, 3))
+                pts0_r[row_of] = pts0
+                pts0 = pts0_r
+                if pc_arr is not None:
+                    pa = np.zeros(n_rows); pa[row_of] = pc_arr
+                    pc2 = np.zeros((n_rows, 3)); pc2[row_of] = pc_con
+                    pc_arr, pc_con = pa, pc2
+                obs_pt = row_of[obs_pt].astype(np.int32)
+                get_telemetry().add("ba_schur_windowed", 1.0)
+            else:
+                schur_win, win_w, win_g, n_rows = None, 0, 0, len(live)
+            Pp = _bucket(n_rows, 256)
             prob = build_problem(
                 R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
                 est_focal=not cfg.fixed_focal_length,
@@ -470,7 +503,7 @@ def run_sfm(recon: Reconstruction, scene: Scene,
                 cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
                 pt_constrained=pc_arr, pt_constraints=pc_con, pt_weight=pw,
                 pad_cams=Cp, pad_pts=Pp, max_views=Mp,
-                dtype=_dt(cfg))
+                schur_win=schur_win, dtype=_dt(cfg))
             cam_obs, cam_obs_mask = build_cam_obs_table(obs_cam, obs_pt,
                                                         Cp, Sp, Mp)
             # Huge rounds run the host-driven chunked loop so no single
@@ -491,11 +524,16 @@ def run_sfm(recon: Reconstruction, scene: Scene,
                 counter("dispatches")
                 res = runner(
                     prob, jnp.asarray(cam_obs), jnp.asarray(cam_obs_mask),
-                    **ba_kw)
+                    window=win_w, group_pts=win_g, **ba_kw)
                 get_telemetry().add("ba_observations",
                                     float(len(obs_cam)) * float(res.iters))
             pts = np.asarray(res.pts)
-            removed_arr = np.asarray(res.pt_removed)[:len(live)]
+            removed_full = np.asarray(res.pt_removed)
+            if plan is not None:
+                pts = pts[row_of]
+                removed_arr = removed_full[row_of]
+            else:
+                removed_arr = removed_full[:len(live)]
         cam = np.asarray(res.cam)
         Rf = np.asarray(res.R)
         passes = int(res.passes)

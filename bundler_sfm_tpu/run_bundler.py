@@ -45,7 +45,30 @@ def main(argv=None) -> int:
     p.add_argument("--num_devices", type=int, default=1,
                    help="device-mesh size for matching + BA sharding "
                         "(0 = all visible devices)")
+    p.add_argument("--multihost_coordinator", default=None,
+                   help="host:port of process 0 — launch ONE run_bundler "
+                        "per host with identical args plus --process_id; "
+                        "the mesh spans every host's devices "
+                        "(jax.distributed, SURVEY.md §2.4)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
+
+    if args.multihost_coordinator:
+        # Must run before any jax device/backend use.
+        from bundler_sfm_tpu.parallel.mesh import initialize_multihost
+        initialize_multihost(args.multihost_coordinator,
+                             args.num_processes, args.process_id)
+        import jax
+        if args.num_devices == 1:
+            args.num_devices = 0      # span the whole multihost mesh
+        args.image_dir = os.path.abspath(args.image_dir)
+        if jax.process_index() != 0:
+            # SPMD host discipline: every process runs the identical
+            # pipeline (collectives must line up); only process 0 writes
+            # the artifacts.
+            import tempfile
+            os.chdir(tempfile.mkdtemp(prefix="bundler_proc_"))
 
     from bundler_sfm_tpu.config import default_pipeline_config
     from bundler_sfm_tpu.features.sift import extract_sift_batch, load_grayscale

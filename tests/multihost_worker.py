@@ -52,6 +52,8 @@ def main():
     mesh = Mesh(np.array(devs), ("shard",))
 
     def globalize(arr, spec):
+        if arr is None:
+            return None
         arr = np.asarray(arr)
         sh = NamedSharding(mesh, spec)
         return jax.make_array_from_callback(arr.shape, sh,

@@ -430,3 +430,91 @@ def test_outlier_loop_chunked_matches_fused(rng):
                                rtol=1e-7, atol=1e-9)
     np.testing.assert_array_equal(np.asarray(a.hist), np.asarray(b.hist))
     assert abs(float(a.avg_dist) - float(b.avg_dist)) < 1e-9
+
+
+def _banded_problem(rng, C=24, P=300, views=6, n_wide=5, plan_kw=None):
+    """Synthetic banded-covisibility problem + its window plan: each point
+    sees `views` consecutive cameras; `n_wide` loop-closure points span the
+    whole camera range (forcing the wide-remainder path)."""
+    from bundler_sfm_tpu.ops import ba
+    sc = Scene(rng, num_cams=C, num_pts=P)
+    cam0 = np.zeros((C, CNP))
+    R0 = np.stack(sc.R[:C])
+    for i in range(C):
+        cam0[i, 0:3] = sc.centers[i] + rng.normal(size=3) * 0.01
+        cam0[i, 6] = sc.f[i]
+    pts0 = sc.points + rng.normal(size=sc.points.shape) * 0.02
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for p in range(P):
+        if p < n_wide:
+            cams = [0, C // 2, C - 1]
+        else:
+            c0 = int(rng.integers(0, C - views))
+            cams = range(c0, c0 + views)
+        for c in cams:
+            obs_cam.append(c)
+            obs_pt.append(p)
+            obs_xy.append(sc.obs[c][p])
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    obs_xy = np.array(obs_xy)
+    M = int(np.bincount(obs_pt).max())
+    plan = ba.plan_schur_windows(obs_cam, obs_pt, P, C, M,
+                                 **(plan_kw or dict(min_cameras=8,
+                                                    windows=(8,))))
+    assert plan is not None
+    row_of, schur_win, Wd, G, total = plan
+    prob_full = build_problem(R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
+                              est_distortion=False)
+    pts0_r = np.zeros((total, 3))
+    pts0_r[row_of] = pts0
+    prob_win = build_problem(R0, cam0, pts0_r, obs_cam, row_of[obs_pt],
+                             obs_xy, est_distortion=False,
+                             max_views=M, schur_win=schur_win)
+    return prob_full, prob_win, row_of, Wd, G
+
+
+def test_schur_windowed_assembly_matches_full(rng):
+    """assemble_schur_off with covisibility windows reproduces the full-C
+    assembly (same S_off/rhs, camera-indexed) including the wide-point
+    remainder."""
+    import jax.numpy as jnp
+    from bundler_sfm_tpu.ops import ba
+    prob_f, prob_w, row_of, Wd, G = _banded_problem(rng)
+    C = prob_f.cam0.shape[0]
+
+    def pieces(prob):
+        U, V, W, g_c, g_p, _ = ba.build_normal_blocks(
+            prob.cam0, prob.pts0, prob, False)
+        mu = 1e-3
+        Vinv = ba._inv3(V + (mu + 1e-12) * jnp.eye(3, dtype=V.dtype)[None])
+        Vo = ba._pt_expand(Vinv, prob)
+        Y = (W[:, :, :, None] * Vo[:, None, :, :]).sum(2)
+        return Y, W, g_p
+
+    Yf, Wf, gpf = pieces(prob_f)
+    Sf, rf = ba.assemble_schur_off(Yf, Wf, gpf, prob_f, C)
+    Yw, Ww, gpw = pieces(prob_w)
+    Sw, rw = ba.assemble_schur_off(Yw, Ww, gpw, prob_w, C,
+                                   window=Wd, group_pts=G)
+    np.testing.assert_allclose(np.asarray(Sw), np.asarray(Sf),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(rw), np.asarray(rf),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_run_ba_windowed_matches_full(rng):
+    """A full LM run with the windowed Schur assembly converges to the same
+    cameras/points as the standard assembly."""
+    from bundler_sfm_tpu.ops import ba
+    prob_f, prob_w, row_of, Wd, G = _banded_problem(rng)
+    a = ba.run_ba(prob_f, max_iters=30, chunked=False)
+    b = ba.run_ba(prob_w, max_iters=30, chunked=False,
+                  window=Wd, group_pts=G)
+    assert int(a.iters) == int(b.iters)
+    np.testing.assert_allclose(np.asarray(a.cam), np.asarray(b.cam),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(b.pts)[row_of],
+                               np.asarray(a.pts)[:len(row_of)],
+                               rtol=1e-6, atol=1e-8)
+    assert float(a.cost) == pytest.approx(float(b.cost), rel=1e-9)

@@ -20,13 +20,25 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_ba_and_matching():
+def _gloo_available() -> bool:
+    """Probe (in a fresh process, before any backend init) whether this
+    jaxlib ships the gloo CPU collectives — a worker rc=3 is only a
+    legitimate skip when it doesn't (VERDICT r2: no silent-skip escape)."""
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update("
+         "'jax_cpu_collectives_implementation', 'gloo')"],
+        capture_output=True, timeout=120)
+    return r.returncode == 0
+
+
+def _run_workers(worker, timeout, marker):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port)],
+            [sys.executable, worker, str(pid), "2", str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for pid in range(2)
@@ -34,7 +46,7 @@ def test_two_process_distributed_ba_and_matching():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -43,12 +55,35 @@ def test_two_process_distributed_ba_and_matching():
                     "\n".join(o or "" for o in outs))
     rcs = [p.returncode for p in procs]
     if any(rc == 3 for rc in rcs):
+        if _gloo_available():
+            pytest.fail("workers skipped (rc=3) but gloo IS available:\n" +
+                        outs[0][-1500:])
         pytest.skip("jax.distributed CPU collectives unavailable:\n" +
                     outs[0][-500:])
     for rc, out in zip(rcs, outs):
         assert rc == 0, out[-3000:]
-        assert "MULTIHOST_OK" in out, out[-3000:]
+        assert marker in out, out[-3000:]
+    return outs
+
+
+def test_two_process_distributed_ba_and_matching():
+    outs = _run_workers(WORKER, 420, "MULTIHOST_OK")
     # Both processes agree on the replicated cost.
     costs = [ln.split("cost=")[1] for out in outs
              for ln in out.splitlines() if "MULTIHOST_OK" in ln]
     assert len(costs) == 2 and costs[0] == costs[1], costs
+
+
+def test_two_process_full_reconstruction():
+    """A FULL reconstruction (verify + incremental SfM with the fused
+    sharded BA outlier loop) across the 2-process boundary — the
+    run_bundler --multihost_coordinator path minus the network."""
+    worker = os.path.join(REPO, "tests", "multihost_worker_e2e.py")
+    outs = _run_workers(worker, 600, "MULTIHOST_E2E_OK")
+    lines = [ln for out in outs for ln in out.splitlines()
+             if "MULTIHOST_E2E_OK" in ln]
+    assert len(lines) == 2
+    # Identical reconstructions on both processes (cams/pts/center digest).
+    assert lines[0].split("pid=")[1].split(" ", 1)[1] == \
+        lines[1].split("pid=")[1].split(" ", 1)[1], lines
+    assert "cams=4" in lines[0], lines[0]

@@ -34,3 +34,35 @@ def test_pallas_two_nn_matches_xla(rng):
     assert np.array_equal(np.asarray(i0p), np.asarray(i0x))
     assert np.allclose(np.asarray(d0p), np.asarray(d0x))
     assert np.allclose(np.asarray(d1p), np.asarray(d1x))
+
+
+def test_pallas_two_nn_int8_path(rng):
+    """Centered-int8 descriptors (the production uint8 collection format)
+    through the streamed-db kernel: bit-identical integer distances."""
+    q8 = (rng.integers(0, 256, (256, 128)) - 128).astype(np.int8)
+    db8 = (rng.integers(0, 256, (1536, 128)) - 128).astype(np.int8)
+    n_valid = 1400
+    d0p, i0p, d1p = two_nn_pallas(jnp.asarray(q8), jnp.asarray(db8),
+                                  jnp.int32(n_valid), interpret=True)
+    d0x, i0x, d1x = two_nn(jnp.asarray(q8), jnp.asarray(db8),
+                           jnp.int32(n_valid), block=512)
+    assert np.array_equal(np.asarray(i0p), np.asarray(i0x))
+    assert np.array_equal(np.asarray(d0p), np.asarray(d0x))
+    assert np.array_equal(np.asarray(d1p), np.asarray(d1x))
+
+
+def test_pallas_two_nn_streamed_path(rng, monkeypatch):
+    """Force the HBM-streamed variant (db over the resident threshold) and
+    check it against the XLA path — the big-collection shape."""
+    import bundler_sfm_tpu.ops.matching_pallas as mp
+    monkeypatch.setattr(mp, "_RESIDENT_DB_BYTES", 1)
+    q = rng.integers(0, 256, (256, 128)).astype(np.float32)
+    db = rng.integers(0, 256, (1536, 128)).astype(np.float32)
+    n_valid = 1200
+    d0p, i0p, d1p = mp.two_nn_pallas(jnp.asarray(q), jnp.asarray(db),
+                                     jnp.int32(n_valid), interpret=True)
+    d0x, i0x, d1x = two_nn(jnp.asarray(q), jnp.asarray(db),
+                           jnp.int32(n_valid), block=512)
+    assert np.array_equal(np.asarray(i0p), np.asarray(i0x))
+    assert np.allclose(np.asarray(d0p), np.asarray(d0x))
+    assert np.allclose(np.asarray(d1p), np.asarray(d1x))
