@@ -181,29 +181,48 @@ def mean_reproj(cam9, R, pts, obs_cam, obs_pt, obs_xy):
 def run_ours(R, centers_init, pts_init, obs_cam, obs_pt, obs_xy,
              max_iters=150):
     import jax
-    from bundler_sfm_tpu.ops.ba import build_problem, run_ba
+    from bundler_sfm_tpu.ops.ba import (
+        build_problem, plan_schur_windows, run_ba,
+    )
 
     C = len(centers_init)
     cam0 = np.zeros((C, 9))
     cam0[:, 0:3] = centers_init
     cam0[:, 6] = FOCAL
-    prob = build_problem(R, cam0, pts_init, obs_cam, obs_pt, obs_xy,
-                         est_focal=True, est_distortion=True,
-                         dtype=np.float32)
-    res = run_ba(prob, max_iters=max_iters)    # compile
+    counts = np.bincount(obs_pt)
+    plan = plan_schur_windows(obs_cam, obs_pt, len(pts_init), C,
+                              int(counts.max()))
+
+    def build(camx):
+        kw = dict(est_focal=True, est_distortion=True, dtype=np.float32)
+        if plan is not None:
+            row_of, schur_win, Wd, G, total = plan
+            pts_r = np.zeros((total, 3), np.float64)
+            pts_r[row_of] = pts_init
+            return build_problem(R, camx, pts_r, obs_cam,
+                                 row_of[obs_pt].astype(np.int32), obs_xy,
+                                 schur_win=schur_win, **kw), Wd, G
+        return build_problem(R, camx, pts_init, obs_cam, obs_pt, obs_xy,
+                             **kw), 0, 0
+
+    prob, Wd, G = build(cam0)
+    res = run_ba(prob, max_iters=max_iters, window=Wd, group_pts=G)
     float(np.asarray(res.cost))
-    prob2 = build_problem(R, cam0 + 1e-7, pts_init, obs_cam, obs_pt, obs_xy,
-                          est_focal=True, est_distortion=True,
-                          dtype=np.float32)
+    prob2, _, _ = build(cam0 + 1e-7)
     t0 = time.time()
-    res = run_ba(prob2, max_iters=max_iters)
+    res = run_ba(prob2, max_iters=max_iters, window=Wd, group_pts=G)
     float(np.asarray(res.cost))
     wall = time.time() - t0
     cam = np.asarray(res.cam)[:C]
     Rf = np.asarray(res.R)[:C]
-    pts = np.asarray(res.pts)[:len(pts_init)]
+    pts_all = np.asarray(res.pts)
+    if plan is not None:
+        pts = pts_all[plan[0]]
+    else:
+        pts = pts_all[:len(pts_init)]
     err = mean_reproj(cam, Rf, pts, obs_cam, obs_pt, obs_xy)
     return {"wall_s": round(wall, 2), "iters": int(res.iters),
+            "schur_window": Wd,
             "mean_reproj_px": round(err, 4),
             "platform": jax.devices()[0].platform}
 
@@ -230,12 +249,17 @@ def reference_quality(outdir, obs_cam, obs_pt, obs_xy):
 def main():
     args = sys.argv[1:]
     C, P, V = (int(a) for a in (args[:3] or (64, 16384, 6)))
+    side = os.environ.get("BA_VS_SBA_SIDE", "both")  # ref | ours | both
     (R, centers, centers_init, pts, pts_init,
      obs_cam, obs_pt, obs_xy) = synthesize(C, P, V)
 
     result = {"num_cams": C, "num_pts": len(pts), "num_obs": len(obs_cam)}
 
     binary = os.environ.get("REF_BUNDLER")
+    if side == "ref" and not (binary and os.path.exists(binary)):
+        raise SystemExit("BA_VS_SBA_SIDE=ref needs REF_BUNDLER")
+    if side == "ours":
+        binary = None
     if binary and os.path.exists(binary):
         import tempfile
         outdir = tempfile.mkdtemp(prefix="ba_vs_sba_")
@@ -248,12 +272,18 @@ def main():
         result["reference_sba"] = ref
         result["workdir"] = outdir
 
-    result["ours"] = run_ours(R, centers_init, pts_init,
-                              obs_cam, obs_pt, obs_xy)
-    if "reference_sba" in result and result["reference_sba"]["rc"] == 0:
+    if side != "ref":
+        result["ours"] = run_ours(R, centers_init, pts_init,
+                                  obs_cam, obs_pt, obs_xy)
+    if "reference_sba" in result and "ours" in result \
+            and result["reference_sba"]["rc"] == 0:
         result["speedup_vs_sba_wall"] = round(
             result["reference_sba"]["wall_s"] / result["ours"]["wall_s"], 2)
     print(json.dumps(result))
+    out = os.environ.get("BA_VS_SBA_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(result, f)
 
 
 if __name__ == "__main__":

@@ -9,6 +9,13 @@ fFocal) from a `fisheye.txt` (`src/FisheyeUndistort.cpp:20-90`):
     distort:   r = |p|; angle = atan(r/fFocal) [deg];
                r' = fRad·angle/(0.5·fAngle);  p' = p·r'/r + c
 
+COORDINATE CONVENTION: (fCx, fCy) is the fisheye-circle center as an
+offset in CENTERED image coordinates (usually ~0), NOT absolute pixels —
+the reference applies UndistortPoint to centered keypoints
+(`src/ImageData.cpp:1183` on keys centered by ExtractFeatures) and its
+undistort tool re-adds 0.5·w/h after DistortPoint
+(`src/FisheyeUndistort.cpp:131-139`).
+
 All functions vectorized over [..., 2] point arrays.
 """
 
@@ -81,13 +88,15 @@ def undistort_image(img: np.ndarray, p: FisheyeParams) -> np.ndarray:
     the fisheye input at its distorted location (bilinear)."""
     h, w = img.shape[:2]
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
-    # Output grid in centered rectilinear coords.
+    # Output grid in centered rectilinear coords; distort (which lands in
+    # centered fisheye coords offset by fCx/fCy), then back to pixels —
+    # the 0.5·w/h re-add of `src/FisheyeUndistort.cpp:131-139`.
     cx = xs - 0.5 * w
     cy = ys - 0.5 * h
     src = np.asarray(distort_points(
         jnp.asarray(np.stack([cx, cy], axis=-1)), p))
-    xsrc = src[..., 0]
-    ysrc = src[..., 1]
+    xsrc = src[..., 0] + 0.5 * w
+    ysrc = src[..., 1] + 0.5 * h
     inside = (xsrc >= 0) & (xsrc < w - 1) & (ysrc >= 0) & (ysrc < h - 1)
     x0 = np.clip(np.floor(xsrc).astype(int), 0, w - 2)
     y0 = np.clip(np.floor(ysrc).astype(int), 0, h - 2)

@@ -349,3 +349,60 @@ def test_cap_slot_views_guard(rng):
     assert counts[0] == M
     gaps = np.diff(kept)
     assert gaps.max() <= int(np.ceil(512 / M)) + 1
+
+
+def test_panorama_mode_points_at_infinity(rng):
+    """Panorama mode e2e slice (src/BundleAdd.cpp:129-176, 342-348 +
+    config --panorama_mode): a rotation-only pair places new tracks on
+    their first view's UNIT ray (GeneratePointAtInfinity), gated by the
+    real reprojection residual, and a panorama BA round stays finite."""
+    from bundler_sfm_tpu.pipeline.incremental import (
+        Reconstruction, add_all_new_points, run_sfm,
+    )
+    f = 700.0
+    W, H = 1024, 768
+    center = np.array([0.0, 0.0, 0.0])
+    # Two rotations 15 degrees apart about y.
+    def yaw(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    Rs = [yaw(0.0), yaw(np.radians(15.0))]
+    pts = rng.uniform(-1, 1, (200, 3))
+    pts[:, 2] -= 4.0           # cloud in front (-z)
+    pts *= 50.0                # far away (panorama-like)
+    key_xy, keymap = [], []
+    for R in Rs:
+        p = (pts - center) @ R.T
+        uv = -f * p[:, :2] / p[:, 2:3]
+        vis = (np.abs(uv[:, 0]) < W / 2 - 4) & (np.abs(uv[:, 1]) < H / 2 - 4) \
+            & (p[:, 2] < 0)
+        key_xy.append(uv[vis] + rng.normal(size=(vis.sum(), 2)) * 0.2)
+        keymap.append({int(p_): k for k, p_ in enumerate(np.nonzero(vis)[0])})
+    shared = [p for p in keymap[0] if p in keymap[1]]
+    assert len(shared) > 60
+    m = np.array([[keymap[0][p], keymap[1][p]] for p in shared], np.int32)
+    cfg = default_pipeline_config(fmatrix_rounds=256, homography_rounds=64,
+                                  sfm_max_iters=20)
+    cfg.panorama_mode = True
+    cfg.ray_angle_threshold = 0.0
+    entries = [ImageEntry(f"pan{i}.jpg", init_focal=f) for i in range(2)]
+    scene = Scene(config=cfg, entries=entries, dims=[(W, H)] * 2,
+                  key_xy=key_xy, matches={(0, 1): m})
+    compute_geometric_constraints(scene, seed=1)
+    assert len(scene.tracks) > 50
+    recon = Reconstruction(
+        added_order=[0, 1],
+        cam_R=[R.copy() for R in Rs],
+        cam_params=[np.concatenate([center, [0, 0, 0], [f], [0, 0]])
+                    for _ in range(2)],
+        points=[], colors=[], pt_views=[],
+        track_extra=np.full(len(scene.tracks), -1, np.int64),
+        key_extra=[{} for _ in range(2)])
+    n = add_all_new_points(recon, scene)
+    assert n > 40, f"panorama points added: {n}"
+    # GeneratePointAtInfinity: unit distance from the (shared) center.
+    d = np.linalg.norm(np.stack(recon.points) - center, axis=1)
+    np.testing.assert_allclose(d, 1.0, atol=1e-9)
+    # A panorama BA round must stay finite (rotation-only geometry).
+    avg = run_sfm(recon, scene, remove_outliers=False, verbose=False)
+    assert np.isfinite(avg)
