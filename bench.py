@@ -21,6 +21,10 @@ import numpy as np
 # remote TPU compile path costs minutes per shape without it.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
+# The fused Pallas matcher is gated off on the axon tunnel by default (its
+# ~60s per-process executable load hurts one-shot runs); the bench warms
+# every program before timing, so it measures the kernel's true rate.
+os.environ.setdefault("BUNDLER_PALLAS_MATCH", "1")
 
 KEYS_PER_IMAGE = 2048
 NUM_IMAGES = int(os.environ.get("BENCH_NUM_IMAGES", "24"))

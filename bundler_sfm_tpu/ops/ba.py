@@ -373,6 +373,48 @@ _PC_TABLE_BUDGET = 1 << 28
 _SCHUR_CHUNK_BUDGET = 1 << 25
 
 
+def _segsum_windowed(data, prob: BAProblem, num_segments: int,
+                     window: int, group_pts: int):
+    """Segment-sum over cameras exploiting the covisibility windows: the
+    observations of point-group g only touch cameras
+    [schur_win[g], schur_win[g]+window), so the per-group one-hot is
+    [GM, window] instead of [GM, C] — C/window times less one-hot traffic
+    and MXU work.  Group-padding rows carry zeroed data (build_normal_blocks
+    masks by obs_valid), so their no-match loses nothing.  The wide-point
+    tail runs the full-C path."""
+    C = num_segments
+    nwin = prob.schur_win.shape[0]
+    M = prob.views_mask.shape[1]
+    GM = group_pts * M
+    Ow = nwin * GM
+    K = int(np.prod(data.shape[1:]))
+    flat = data.reshape(data.shape[0], K)
+    starts = prob.schur_win.astype(prob.obs_cam.dtype)
+    oc = prob.obs_cam[:Ow].reshape(nwin, GM)
+    local = oc - starts[:, None]
+    iota_w = jnp.arange(window, dtype=oc.dtype)
+    oh = (local[:, :, None] == iota_w[None, None, :]).astype(flat.dtype)
+    part = jax.lax.dot_general(
+        oh, flat[:Ow].reshape(nwin, GM, K),
+        (((1,), (1,)), ((0,), (0,))),                # contract GM, batch nwin
+        precision=jax.lax.Precision.HIGHEST)         # [nwin, window, K]
+
+    out0 = jnp.zeros((C, K), flat.dtype) + 0.0 * flat.reshape(-1)[0]
+
+    def acc(out, args):
+        p, s = args
+        s = s.astype(jnp.int32)
+        zi = jnp.zeros((), jnp.int32)
+        old = jax.lax.dynamic_slice(out, (s, zi), (window, K))
+        return jax.lax.dynamic_update_slice(out, old + p, (s, zi)), None
+
+    out, _ = jax.lax.scan(acc, out0, (part, starts))
+    if Ow < data.shape[0]:
+        out = out + _segsum_onehot(
+            flat[Ow:], prob.obs_cam[Ow:], C).reshape(C, K)
+    return out.reshape((C,) + data.shape[1:])
+
+
 def _segsum_onehot(data, seg, num_segments: int):
     """Segment-sum via a one-hot MXU contraction.
 
@@ -465,36 +507,38 @@ def _camera_rotations(cam, prob: BAProblem):
     return R, dRdw
 
 
-def _expand_cams(prob: BAProblem, *tables):
-    """Per-camera tables [C, k_i] -> per-observation rows [O, k_i], as
-    one-hot MXU matmuls instead of per-observation gathers (TPU gathers run
-    ~10-40 M rows/s and were the dominant cost of the linearization at
-    O~500k; the [O,C]x[C,Σk] dot streams at full bandwidth).  Chunked over
-    observations when the one-hot exceeds the memory budget (the
-    512-camera / multi-million-observation regime)."""
+def _expand_cams_windowed(prob: BAProblem, window: int, group_pts: int,
+                          *tables):
+    """Windowed sibling of `_expand_cams`: each point-group's rows select
+    from its window's [window, K] slice of the camera tables, so the
+    one-hot is [GM, window] instead of [GM, C].  Out-of-window camera ids
+    (only group-padding slots) are clipped — they select a finite garbage
+    row exactly like the full path's padding-selects-camera-0, and every
+    consumer masks by obs_valid."""
     C = tables[0].shape[0]
     widths = [int(np.prod(t.shape[1:])) for t in tables]
     flat = jnp.concatenate([t.reshape(C, -1) for t in tables], axis=1)
-    iota = jnp.arange(C, dtype=prob.obs_cam.dtype)
-    dn = (((1,), (0,)), ((), ()))
-    O = prob.obs_cam.shape[0]
-    chunk = max(1, _ONEHOT_BUDGET // max(C, 1))
-    if O <= chunk:
-        onehot = (prob.obs_cam[:, None] == iota[None, :]).astype(flat.dtype)
-        rows = jax.lax.dot_general(onehot, flat, dn,
-                                   precision=jax.lax.Precision.HIGHEST)
-    else:
-        nch = -(-O // chunk)
-        pad = nch * chunk - O
-        segc = jnp.pad(prob.obs_cam, (0, pad)).reshape(nch, chunk)
-
-        def step(_, sg):
-            oh = (sg[:, None] == iota[None, :]).astype(flat.dtype)
-            return None, jax.lax.dot_general(
-                oh, flat, dn, precision=jax.lax.Precision.HIGHEST)
-
-        _, rows = jax.lax.scan(step, None, segc)
-        rows = rows.reshape(nch * chunk, -1)[:O]
+    K = flat.shape[1]
+    nwin = prob.schur_win.shape[0]
+    M = prob.views_mask.shape[1]
+    GM = group_pts * M
+    Ow = nwin * GM
+    starts = prob.schur_win.astype(prob.obs_cam.dtype)
+    flatwin = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            flat, (s.astype(jnp.int32), jnp.zeros((), jnp.int32)),
+            (window, K)))(starts)                     # [nwin, window, K]
+    oc = prob.obs_cam[:Ow].reshape(nwin, GM)
+    local = jnp.clip(oc - starts[:, None], 0, window - 1)
+    iota_w = jnp.arange(window, dtype=oc.dtype)
+    oh = (local[:, :, None] == iota_w[None, None, :]).astype(flat.dtype)
+    rows = jax.lax.dot_general(
+        oh, flatwin, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)          # [nwin, GM, K]
+    rows = rows.reshape(Ow, K)
+    if Ow < prob.obs_cam.shape[0]:
+        tail = _expand_cams_flat(flat, prob.obs_cam[Ow:], C)
+        rows = jnp.concatenate([rows, tail], axis=0)
     out = []
     off = 0
     for t, k in zip(tables, widths):
@@ -503,10 +547,60 @@ def _expand_cams(prob: BAProblem, *tables):
     return out
 
 
-def _predict_obs(cam, pts, R, prob: BAProblem):
+def _expand_cams_flat(flat, obs_cam, C):
+    """[O]-row expansion of a concatenated [C, K] table (full-C one-hot)."""
+    iota = jnp.arange(C, dtype=obs_cam.dtype)
+    dn = (((1,), (0,)), ((), ()))
+    O = obs_cam.shape[0]
+    chunk = max(1, _ONEHOT_BUDGET // max(C, 1))
+    if O <= chunk:
+        onehot = (obs_cam[:, None] == iota[None, :]).astype(flat.dtype)
+        return jax.lax.dot_general(onehot, flat, dn,
+                                   precision=jax.lax.Precision.HIGHEST)
+    nch = -(-O // chunk)
+    pad = nch * chunk - O
+    segc = jnp.pad(obs_cam, (0, pad)).reshape(nch, chunk)
+
+    def step(_, sg):
+        oh = (sg[:, None] == iota[None, :]).astype(flat.dtype)
+        return None, jax.lax.dot_general(
+            oh, flat, dn, precision=jax.lax.Precision.HIGHEST)
+
+    _, rows = jax.lax.scan(step, None, segc)
+    return rows.reshape(nch * chunk, -1)[:O]
+
+
+def _expand_cams(prob: BAProblem, *tables, window: int = 0,
+                 group_pts: int = 0):
+    """Per-camera tables [C, k_i] -> per-observation rows [O, k_i], as
+    one-hot MXU matmuls instead of per-observation gathers (TPU gathers run
+    ~10-40 M rows/s and were the dominant cost of the linearization at
+    O~500k; the [O,C]x[C,Σk] dot streams at full bandwidth).  Chunked over
+    observations when the one-hot exceeds the memory budget (the
+    512-camera / multi-million-observation regime).  With covisibility
+    windows active the one-hot shrinks to [*, window] per point-group
+    (`_expand_cams_windowed`)."""
+    if window > 0 and group_pts > 0 and prob.schur_win is not None \
+            and window < tables[0].shape[0]:
+        return _expand_cams_windowed(prob, window, group_pts, *tables)
+    C = tables[0].shape[0]
+    widths = [int(np.prod(t.shape[1:])) for t in tables]
+    flat = jnp.concatenate([t.reshape(C, -1) for t in tables], axis=1)
+    rows = _expand_cams_flat(flat, prob.obs_cam, C)
+    out = []
+    off = 0
+    for t, k in zip(tables, widths):
+        out.append(rows[:, off:off + k].reshape((-1,) + t.shape[1:]))
+        off += k
+    return out
+
+
+def _predict_obs(cam, pts, R, prob: BAProblem, window: int = 0,
+                 group_pts: int = 0):
     """Vectorized Snavely projection of every observation given cached
     per-camera rotations R [C,3,3].  Returns pred [O,2] and p [O,3]."""
-    co, Ro = _expand_cams(prob, cam, R)                   # [O,9], [O,3,3]
+    co, Ro = _expand_cams(prob, cam, R, window=window,
+                          group_pts=group_pts)            # [O,9], [O,3,3]
     v = _pt_expand(pts, prob) - co[:, 0:3]                # [O,3]
     p = jnp.sum(Ro * v[:, None, :], axis=2)               # [O,3]
     f = co[:, 6:7]
@@ -517,13 +611,15 @@ def _predict_obs(cam, pts, R, prob: BAProblem):
     return pred, p
 
 
-def _residuals(cam, pts, prob: BAProblem):
+def _residuals(cam, pts, prob: BAProblem, window: int = 0,
+               group_pts: int = 0):
     R, _ = _camera_rotations(cam, prob)
-    pred, _ = _predict_obs(cam, pts, R, prob)
+    pred, _ = _predict_obs(cam, pts, R, prob, window, group_pts)
     return jnp.where(prob.obs_valid[:, None], pred - prob.obs_xy, 0.0)
 
 
-def _linearize_obs(cam, pts, prob: BAProblem):
+def _linearize_obs(cam, pts, prob: BAProblem, window: int = 0,
+                   group_pts: int = 0):
     """Residual r [O,2] and closed-form Jacobian blocks A [O,2,9] (camera)
     and B [O,2,3] (point) for every observation — all plain vectorized ops,
     no per-observation autodiff (validated against jacfwd in test_ba).
@@ -534,7 +630,8 @@ def _linearize_obs(cam, pts, prob: BAProblem):
     finite differences (`sba_levmar.c:336`).
     """
     R, dRdw = _camera_rotations(cam, prob)
-    co, Ro, dRo = _expand_cams(prob, cam, R, dRdw)  # [O,9],[O,3,3],[O,3,3,3]
+    co, Ro, dRo = _expand_cams(prob, cam, R, dRdw, window=window,
+                               group_pts=group_pts)
     v = _pt_expand(pts, prob) - co[:, 0:3]
     p = jnp.sum(Ro * v[:, None, :], axis=2)
     f = co[:, 6]
@@ -577,8 +674,9 @@ def _linearize_obs(cam, pts, prob: BAProblem):
 
 
 def compute_cost(cam, pts, prob: BAProblem, loss: str = "l2",
-                 huber_b: float = 625.0):
-    r = _residuals(cam, pts, prob)
+                 huber_b: float = 625.0, window: int = 0,
+                 group_pts: int = 0):
+    r = _residuals(cam, pts, prob, window, group_pts)
     s = jnp.sum(r * r, axis=1)
     cost = 0.5 * jnp.sum(_robust_rho(s, loss, huber_b))
     cw = prob.cam_weights * prob.cam_constrained * prob.cam_mask
@@ -589,7 +687,8 @@ def compute_cost(cam, pts, prob: BAProblem, loss: str = "l2",
 
 
 def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
-                        loss: str = "l2", huber_b: float = 625.0):
+                        loss: str = "l2", huber_b: float = 625.0,
+                        window: int = 0, group_pts: int = 0):
     """U [C,9,9], V [P,3,3], W [O,9,3], g_c [C,9], g_p [P,3], cost.
 
     Camera-side quantities are in SCALED parameter space q = cam_scale∘x
@@ -601,7 +700,15 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
     P = pts.shape[0]
     inv_s = 1.0 / prob.cam_scale                              # [9]
 
-    r, A, B = _linearize_obs(cam, pts, prob)
+    windowed = (window > 0 and group_pts > 0
+                and prob.schur_win is not None and window < C)
+
+    def segsum(data):
+        if windowed:
+            return _segsum_windowed(data, prob, C, window, group_pts)
+        return _segsum_onehot(data, prob.obs_cam, C)
+
+    r, A, B = _linearize_obs(cam, pts, prob, window, group_pts)
     # Robust rescaling with the FULL Triggs correction, exactly Ceres's
     # Corrector (internal/ceres/corrector.cc, as applied by the reference's
     # --use_ceres backend):
@@ -636,11 +743,10 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
     # Tiny contractions (k=2) as broadcast-multiply + sum: exact f32 on the
     # VPU — jnp.einsum would route these through the MXU in bf16 by default
     # and pay a layout pass per dot.
-    U = _segsum_onehot((A[:, :, :, None] * A[:, :, None, :]).sum(1),
-                       prob.obs_cam, C)
+    U = segsum((A[:, :, :, None] * A[:, :, None, :]).sum(1))
     V = _point_sum((B[:, :, :, None] * B[:, :, None, :]).sum(1), prob)
     W = (A[:, :, :, None] * B[:, :, None, :]).sum(1)
-    g_c = -_segsum_onehot((A * r[:, :, None]).sum(1), prob.obs_cam, C)
+    g_c = -segsum((A * r[:, :, None]).sum(1))
     g_p = -_point_sum((B * r[:, :, None]).sum(1), prob)
     cost = rcost
 
@@ -769,12 +875,15 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int,
     P, M = prob.views_obs.shape
     dtype = Y.dtype
 
+    windowed = window > 0 and group_pts > 0 and window < C \
+        and prob.schur_win is not None
     # rhs_off = − Σ_obs Y_o g_p[pt(o)]  (per camera).
     gpo = _pt_expand(g_p, prob)
     contrib = jnp.sum(Y * gpo[:, None, :], axis=2)
-    rhs_off = -_segsum_onehot(contrib, prob.obs_cam, C)
-
-    windowed = window > 0 and group_pts > 0 and window < C
+    if windowed:
+        rhs_off = -_segsum_windowed(contrib, prob, C, window, group_pts)
+    else:
+        rhs_off = -_segsum_onehot(contrib, prob.obs_cam, C)
     if windowed or P * C <= _PC_TABLE_BUDGET:
         cam_of_slot = prob.obs_cam.reshape(P, M)        # [P,M]
         Yp = Y.reshape(P, M, CNP, PNP)                  # [P,M,9,3]
@@ -906,12 +1015,13 @@ def solve_schur_cg(S, rhs, max_iters: int = 100, tol: float = 1e-8):
     return x
 
 
-def back_substitute(Vinv, W, g_p, dcam, prob: BAProblem):
+def back_substitute(Vinv, W, g_p, dcam, prob: BAProblem,
+                    window: int = 0, group_pts: int = 0):
     """dp_i = V_i⁻¹ (g_p_i − Σ_{o∈views(i)} W_oᵀ dcam[cam(o)]).
 
     The per-observation camera-step rows come from the one-hot MXU
     expansion (`_expand_cams`) rather than a [O]-row gather."""
-    dco, = _expand_cams(prob, dcam)
+    dco, = _expand_cams(prob, dcam, window=window, group_pts=group_pts)
     wc = (W * dco[:, :, None]).sum(1)                     # [O,3]
     acc = _point_sum(wc, prob)
     x = g_p - acc
@@ -1011,7 +1121,8 @@ def _lm_loop(prob: BAProblem, max_iters: int, fix_points: bool,
 
     def global_blocks(cam, pts):
         U, V, W, g_c, g_p, cost = build_normal_blocks(
-            cam, pts, prob, fix_points, loss=loss, huber_b=huber_b)
+            cam, pts, prob, fix_points, loss=loss, huber_b=huber_b,
+            window=window, group_pts=group_pts)
         return (_psum(U, axis), V, W, _psum(g_c, axis), g_p,
                 _psum(cost, axis))
 
@@ -1046,12 +1157,14 @@ def _lm_loop(prob: BAProblem, max_iters: int, fix_points: bool,
         if fix_points:
             dpts = jnp.zeros_like(pts)
         else:
-            dpts = back_substitute(Vinv, W, g_p, dcam, prob)
+            dpts = back_substitute(Vinv, W, g_p, dcam, prob,
+                                   window=window, group_pts=group_pts)
         return dcam, dpts, g_c, g_p, cost
 
     def total_cost(cam, pts):
         return _psum(compute_cost(cam, pts, prob, loss=loss,
-                                  huber_b=huber_b), axis)
+                                  huber_b=huber_b, window=window,
+                                  group_pts=group_pts), axis)
 
     if state0 is None:
         # Initial damping: tau * max diagonal of JᵀJ (SBA's init).
@@ -1261,7 +1374,8 @@ def run_ba_chunked(prob: BAProblem, max_iters: int = 150,
 
 def _pass_stats_core(prob: BAProblem, cam_obs, cam_obs_mask, cam, pts, R,
                      ov, outlier_factor, min_thresh, max_thresh,
-                     axis: Optional[str]):
+                     axis: Optional[str], window: int = 0,
+                     group_pts: int = 0):
     """Per-camera reprojection stats on the CURRENT obs_valid set
     (`src/Bundle.cpp:659-850`): per-obs distances, p80 threshold with the
     [min, max] clamp, mean, and the 10-bin histograms."""
@@ -1269,7 +1383,7 @@ def _pass_stats_core(prob: BAProblem, cam_obs, cam_obs_mask, cam, pts, R,
     C = prob.cam0.shape[0]
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     p = prob._replace(obs_valid=ov)
-    pred, _ = _predict_obs(cam, pts, R, p)
+    pred, _ = _predict_obs(cam, pts, R, p, window, group_pts)
     d = jnp.linalg.norm(pred - prob.obs_xy, axis=1)       # [O]
     if axis is None:
         d_all, ov_all = d, ov
@@ -1385,7 +1499,7 @@ def _outlier_loop_core(
     def pass_stats(cam, pts, R, ov):
         return _pass_stats_core(prob, cam_obs, cam_obs_mask, cam, pts, R,
                                 ov, outlier_factor, min_thresh, max_thresh,
-                                axis)
+                                axis, window, group_pts)
 
     def body(st):
         (cam, pts, R0c, ov, removed, pass_i, n_out, stats_b, hist_b,
@@ -1507,15 +1621,18 @@ def run_ba_outlier_loop(
         axis=None, window=window, group_pts=group_pts)
 
 
-@functools.partial(jax.jit, static_argnames=("remove_outliers",))
+@functools.partial(jax.jit, static_argnames=("remove_outliers", "window",
+                                             "group_pts"))
 def _pass_stats_jit(prob: BAProblem, cam_obs, cam_obs_mask, cam, pts, R,
                     ov, outlier_factor, min_thresh, max_thresh,
-                    remove_outliers: bool):
+                    remove_outliers: bool, window: int = 0,
+                    group_pts: int = 0):
     """One post-BA pass of RunSFM's stats + outlier removal as its own
     program (used by the chunked host-driven loop)."""
     d, thresh, stats, bins, edges = _pass_stats_core(
         prob, cam_obs, cam_obs_mask, cam, pts, R, ov, outlier_factor,
-        min_thresh, max_thresh, axis=None)
+        min_thresh, max_thresh, axis=None, window=window,
+        group_pts=group_pts)
     bad_obs = ov & (d > thresh[prob.obs_cam])
     bad_pt = jnp.any(prob.views_mask
                      & bad_obs.reshape(prob.views_mask.shape), axis=1)
@@ -1584,7 +1701,8 @@ def run_ba_outlier_loop_chunked(
             prob, cam_obs, cam_obs_mask, cam, pts, R0c, ov,
             jnp.asarray(outlier_factor, prob.obs_xy.dtype),
             jnp.asarray(min_thresh, prob.obs_xy.dtype),
-            jnp.asarray(max_thresh, prob.obs_xy.dtype), remove_outliers)
+            jnp.asarray(max_thresh, prob.obs_xy.dtype), remove_outliers,
+            window=window, group_pts=group_pts)
         if remove_outliers:
             removed = removed | bad_pt
         stats_b[passes] = np.asarray(stats)

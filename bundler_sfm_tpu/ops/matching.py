@@ -36,12 +36,22 @@ _BIG = jnp.float32(3.0e38)
 def _pallas_eligible(nq: int, nd: int, itemsize: int = 4) -> bool:
     """Trace-time gate for the fused Pallas 2-NN (matching_pallas.py):
     TPU backend + tile-aligned shapes.  The kernel streams db blocks from
-    HBM through the grid (double-buffered DMA), so there is no db-size
-    limit.  BUNDLER_NO_PALLAS_MATCH=1 falls back to the XLA path
-    everywhere (the escape hatch for backends where Mosaic misbehaves)."""
+    HBM when the table exceeds VMEM, so there is no db-size limit.
+
+    ON by default on local TPU hardware (1.7x the XLA path on device).
+    OFF by default through the axon remote-TPU tunnel: the remote service
+    pays a ~60 s per-process executable LOAD for the Mosaic program even
+    on a compile-cache hit (measured in the round-3 128-image race: the
+    matching stage went 4.5 s -> 61.8 s per fresh process), which no
+    steady-state speedup amortizes for one-shot pipeline runs.
+    BUNDLER_PALLAS_MATCH=1 forces it on (bench.py does — its warmup pass
+    absorbs the load); BUNDLER_NO_PALLAS_MATCH=1 disables everywhere."""
     if os.environ.get("BUNDLER_NO_PALLAS_MATCH"):
         return False
     if jax.default_backend() == "cpu":
+        return False
+    if ("axon" in (jax.config.jax_platforms or "")
+            and not os.environ.get("BUNDLER_PALLAS_MATCH")):
         return False
     from .matching_pallas import BD, TQ
     return nq % TQ == 0 and nd % BD == 0

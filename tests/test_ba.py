@@ -518,3 +518,49 @@ def test_run_ba_windowed_matches_full(rng):
                                np.asarray(a.pts)[:len(row_of)],
                                rtol=1e-6, atol=1e-8)
     assert float(a.cost) == pytest.approx(float(b.cost), rel=1e-9)
+
+
+def test_outlier_loop_windowed_matches_full(rng):
+    """The fused outlier loop with covisibility windows (windowed Schur +
+    windowed expansions/reductions + windowed pass stats) reproduces the
+    full-path removals and cameras."""
+    from bundler_sfm_tpu.ops import ba
+    prob_f, prob_w, row_of, Wd, G = _banded_problem(rng)
+    C = prob_f.cam0.shape[0]
+    # Outliers: corrupt a few points' observations in BOTH layouts.
+    oxy_f = np.array(prob_f.obs_xy)
+    oxy_w = np.array(prob_w.obs_xy)
+    bad_pts = rng.choice(np.arange(20, 250), 12, replace=False)
+    M = prob_f.views_mask.shape[1]
+    for p in bad_pts:
+        delta = rng.uniform(60, 120, 2)
+        for k in range(M):
+            if bool(prob_f.views_mask[p, k]):
+                oxy_f[p * M + k] += delta
+        rw = int(row_of[p])
+        for k in range(M):
+            if bool(prob_w.views_mask[rw, k]):
+                oxy_w[rw * M + k] += delta
+    prob_f = prob_f._replace(obs_xy=jnp.asarray(oxy_f))
+    prob_w = prob_w._replace(obs_xy=jnp.asarray(oxy_w))
+    co_f, cm_f = ba.build_cam_obs_table(
+        np.asarray(prob_f.obs_cam)[np.asarray(prob_f.obs_valid)],
+        np.asarray(prob_f.obs_pt)[np.asarray(prob_f.obs_valid)], C)
+    # Rebuild tables from the ORIGINAL obs lists to keep slot ids aligned.
+    kw = dict(max_iters=40, min_outliers=2, min_points=8, max_passes=3)
+    a = ba.run_ba_outlier_loop(
+        prob_f, jnp.asarray(co_f), jnp.asarray(cm_f), **kw)
+    ov_w = np.asarray(prob_w.obs_valid)
+    co_w, cm_w = ba.build_cam_obs_table(
+        np.asarray(prob_w.obs_cam)[ov_w],
+        np.asarray(prob_w.obs_pt)[ov_w], C,
+        max_views=prob_w.views_mask.shape[1])
+    b = ba.run_ba_outlier_loop(
+        prob_w, jnp.asarray(co_w), jnp.asarray(cm_w),
+        window=Wd, group_pts=G, **kw)
+    assert int(a.passes) == int(b.passes)
+    np.testing.assert_array_equal(
+        np.asarray(a.pt_removed)[:len(row_of)],
+        np.asarray(b.pt_removed)[row_of])
+    np.testing.assert_allclose(np.asarray(a.cam), np.asarray(b.cam),
+                               rtol=1e-6, atol=1e-8)
