@@ -765,11 +765,33 @@ def refine_camera_iterative(scene: Scene, img: int, cam0: np.ndarray,
     return np.asarray(cam), np.asarray(R), idxs
 
 
-def _resect_batch(rkeys, X, x, nv, thr, weak_thr, num_rounds):
+def _resect_one_chunk(rkeys, X, x, nv, thr, weak_thr, num_rounds):
     return jax.vmap(
         lambda k, Xi, xi, ni: find_and_verify_camera(
             k, Xi, xi, ni, thr, weak_thr, num_rounds=num_rounds)
     )(rkeys, X, x, nv)
+
+
+def _resect_batch(rkeys, X, x, nv, thr, weak_thr, num_rounds):
+    """Vmapped resection RANSAC, chunked over candidates: each lane peaks
+    at a [num_rounds, pad] distance table, so one 192-candidate round at
+    256-image scale needs ~22 GB in one program (measured HBM OOM) —
+    bound lanes-per-dispatch so the peak stays ~2 GB."""
+    B, pad = X.shape[0], X.shape[1]
+    ch = max(4, min(B, (1 << 29) // max(num_rounds * pad, 1)))
+    ch = ((ch + 3) // 4) * 4
+    if ch >= B:
+        return _resect_one_chunk(rkeys, X, x, nv, thr, weak_thr, num_rounds)
+    outs = []
+    for s in range(0, B, ch):
+        e = min(s + ch, B)
+        idx = np.arange(s, e)
+        if e - s < ch:                 # pad to the compiled chunk shape
+            idx = np.concatenate([idx, np.full(ch - (e - s), s)])
+        outs.append(_resect_one_chunk(
+            rkeys[idx], X[idx], x[idx], nv[idx], thr, weak_thr, num_rounds))
+    cat = [jnp.concatenate(parts, axis=0)[:B] for parts in zip(*outs)]
+    return type(outs[0])(*cat)
 
 
 
