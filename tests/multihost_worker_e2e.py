@@ -58,6 +58,24 @@ def main():
         sfm_max_iters=30)
     scene, syn = make_pipeline_scene(np.random.default_rng(7), num_cams=4,
                                      num_pts=150, seed_cfg=cfg)
+
+    # Production ring matcher across the process boundary: the
+    # image-sharded table's ppermute legs and the output all-gather cross
+    # processes (run_bundler --num_devices dispatches this path).
+    from bundler_sfm_tpu.parallel.matching_sharded import (
+        ShardedDescriptorTable,
+    )
+    from bundler_sfm_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (96, 128)).astype(np.int32)
+    descs = [np.clip(base + rng.integers(-4, 5, base.shape),
+                     0, 255).astype(np.uint8) for _ in range(6)]
+    ring = ShardedDescriptorTable(descs, make_mesh(), block=128)
+    pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    got = ring.match_pairs(pairs, min_matches=1)
+    n_matches = sum(len(v) for v in got.values())
+    assert n_matches > 0
+
     compute_geometric_constraints(scene, seed=3)
     recon = bundle_adjust_fast(scene, seed=5)
     n_pts = sum(1 for v in recon.pt_views if v)
@@ -65,7 +83,8 @@ def main():
                         for s in range(recon.num_cameras)])
     digest = float(np.sum(np.abs(centers)))
     print(f"MULTIHOST_E2E_OK pid={PID} cams={recon.num_cameras} "
-          f"pts={n_pts} digest={digest:.9e}", flush=True)
+          f"pts={n_pts} ringmatches={n_matches} digest={digest:.9e}",
+          flush=True)
 
 
 if __name__ == "__main__":
