@@ -61,6 +61,59 @@ def _batch_pairs(scene: Scene, pairs, pad: int):
     return jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(n)
 
 
+def _device_key_table(scene: Scene, pairs):
+    """[N, K, 2] device-resident padded keypoint table for the images in
+    `pairs` + image→row map.  Verification at scale is HOST-UPLOAD bound
+    without it: per-batch [B, pad, 2] coordinate stacks re-upload every
+    image's keys once per observing pair (measured ~46 s of the 256-image
+    race's verify stage); the table uploads each image once and the
+    per-batch payload shrinks to int32 match indices."""
+    dt = np.float32 if scene.config.ba_dtype == "float32" else np.float64
+    imgs = sorted({i for p in pairs for i in p})
+    K = _round_up(max((len(scene.key_xy[i]) for i in imgs), default=1), 64)
+    tab = np.zeros((len(imgs), K, 2), dt)
+    for li, i in enumerate(imgs):
+        k = scene.key_xy[i]
+        tab[li, :len(k)] = k
+    return jnp.asarray(tab), {i: li for li, i in enumerate(imgs)}
+
+
+def _batch_pair_indices(scene: Scene, pairs, pad: int, local, batch: int):
+    """Per-batch match-index payload (int32) for the device-side gather."""
+    pi = np.zeros(batch, np.int32)
+    pj = np.zeros(batch, np.int32)
+    midx = np.zeros((batch, pad, 2), np.int32)
+    n = np.zeros(batch, np.int32)
+    for b, (i, j) in enumerate(pairs):
+        m = scene.matches[(i, j)]
+        cnt = min(len(m), pad)
+        midx[b, :cnt] = m[:cnt]
+        pi[b] = local[i]
+        pj[b] = local[j]
+        n[b] = cnt
+    return (jnp.asarray(pi), jnp.asarray(pj), jnp.asarray(midx),
+            jnp.asarray(n))
+
+
+@functools.partial(jax.jit, static_argnames=("num_rounds",))
+def _fmatrix_batch_idx(keys, table, pi, pj, midx, n_valid, threshold,
+                       num_rounds):
+    """F-RANSAC batch with the pair coordinates gathered ON DEVICE from the
+    resident key table — numerically identical to `_fmatrix_batch` on
+    host-stacked coords (same values, same dtype)."""
+    x1 = jnp.take_along_axis(table[pi], midx[:, :, 0:1], axis=1)
+    x2 = jnp.take_along_axis(table[pj], midx[:, :, 1:2], axis=1)
+    return _fmatrix_batch(keys, x1, x2, n_valid, threshold, num_rounds)
+
+
+@functools.partial(jax.jit, static_argnames=("num_rounds",))
+def _homography_batch_idx(keys, table, pi, pj, midx, n_valid, threshold,
+                          num_rounds):
+    x1 = jnp.take_along_axis(table[pi], midx[:, :, 0:1], axis=1)
+    x2 = jnp.take_along_axis(table[pj], midx[:, :, 1:2], axis=1)
+    return _homography_batch(keys, x1, x2, n_valid, threshold, num_rounds)
+
+
 def remove_border_matches(scene: Scene) -> None:
     """Drop matches whose keypoints fall within `keypoint_border_width` px
     of any edge, or within `keypoint_border_bottom` px of the bottom
@@ -113,23 +166,12 @@ def compute_epipolar_geometry(scene: Scene, seed: int = 0,
                             default=8), 64)
     batch = _auto_batch(len(todo), batch)
     base_key = jax.random.PRNGKey(seed)
-    for start in range(0, len(todo), batch):
-        chunk = todo[start:start + batch]
-        x1, x2, n = _batch_pairs(scene, chunk, pad_all)
-        if len(chunk) < batch:
-            padb = batch - len(chunk)
-            x1 = jnp.concatenate([x1, jnp.zeros((padb, pad_all, 2), x1.dtype)])
-            x2 = jnp.concatenate([x2, jnp.zeros((padb, pad_all, 2), x2.dtype)])
-            n = jnp.concatenate([n, jnp.zeros(padb, jnp.int32)])
-        keys = jax.random.split(jax.random.fold_in(base_key, start), batch)
-        counter("dispatches")
-        F, inl, cnt = _fmatrix_batch(keys, x1, x2, n,
-                                     jnp.asarray(cfg.fmatrix_threshold,
-                                                 x1.dtype),
-                                     cfg.fmatrix_rounds)
-        F = np.asarray(F)
-        inl = np.asarray(inl)
-        cnt = np.asarray(cnt)
+    table, local = _device_key_table(scene, todo) if todo else (None, None)
+    thr = jnp.asarray(cfg.fmatrix_threshold,
+                      table.dtype if todo else np.float64)
+
+    def consume(chunk, out):
+        F, inl, cnt = (np.asarray(o) for o in out)
         for b, (i, j) in enumerate(chunk):
             m = scene.matches[(i, j)]
             keep = inl[b, :len(m)]
@@ -142,6 +184,23 @@ def compute_epipolar_geometry(scene: Scene, seed: int = 0,
                 tj.fmatrix = F[b].T
             else:
                 drop.append((i, j))
+
+    # One-batch-behind consumption: batch k's result fetch overlaps batch
+    # k+1's upload + device execution (the fetch is the only sync point).
+    pending = None
+    for start in range(0, len(todo), batch):
+        chunk = todo[start:start + batch]
+        pi, pj, midx, n = _batch_pair_indices(scene, chunk, pad_all,
+                                              local, batch)
+        keys = jax.random.split(jax.random.fold_in(base_key, start), batch)
+        counter("dispatches")
+        out = _fmatrix_batch_idx(keys, table, pi, pj, midx, n, thr,
+                                 cfg.fmatrix_rounds)
+        if pending is not None:
+            consume(*pending)
+        pending = (chunk, out)
+    if pending is not None:
+        consume(*pending)
     for p in drop:
         scene.matches.pop(p, None)
         scene.transforms.pop(p, None)
@@ -168,20 +227,11 @@ def compute_transforms(scene: Scene, seed: int = 1, batch: int = None
     pad_all = _round_up(max(len(scene.matches[p]) for p in todo), 64)
     batch = _auto_batch(len(todo), batch)
     base_key = jax.random.PRNGKey(seed + 7777)
-    for start in range(0, len(todo), batch):
-        chunk = todo[start:start + batch]
-        x1, x2, n = _batch_pairs(scene, chunk, pad_all)
-        if len(chunk) < batch:
-            padb = batch - len(chunk)
-            x1 = jnp.concatenate([x1, jnp.zeros((padb, pad_all, 2), x1.dtype)])
-            x2 = jnp.concatenate([x2, jnp.zeros((padb, pad_all, 2), x2.dtype)])
-            n = jnp.concatenate([n, jnp.zeros(padb, jnp.int32)])
-        keys = jax.random.split(jax.random.fold_in(base_key, start), batch)
-        counter("dispatches")
-        H, inl, cnt = _homography_batch(keys, x1, x2, n,
-                                        jnp.asarray(cfg.homography_threshold,
-                                                    x1.dtype),
-                                        cfg.homography_rounds)
+    table, local = _device_key_table(scene, todo)
+    thr = jnp.asarray(cfg.homography_threshold, table.dtype)
+
+    def consume(chunk, out):
+        H, _inl, cnt = out
         H = np.asarray(H)
         cnt = np.asarray(cnt)
         for b, (i, j) in enumerate(chunk):
@@ -192,6 +242,21 @@ def compute_transforms(scene: Scene, seed: int = 1, batch: int = None
                 ti.hmatrix = H[b]
                 ti.num_inliers = num_inl
                 ti.inlier_ratio = num_inl / max(len(m), 1)
+
+    pending = None
+    for start in range(0, len(todo), batch):
+        chunk = todo[start:start + batch]
+        pi, pj, midx, n = _batch_pair_indices(scene, chunk, pad_all,
+                                              local, batch)
+        keys = jax.random.split(jax.random.fold_in(base_key, start), batch)
+        counter("dispatches")
+        out = _homography_batch_idx(keys, table, pi, pj, midx, n, thr,
+                                    cfg.homography_rounds)
+        if pending is not None:
+            consume(*pending)
+        pending = (chunk, out)
+    if pending is not None:
+        consume(*pending)
 
 
 def compute_geometric_constraints(scene: Scene, seed: int = 0,
