@@ -45,22 +45,6 @@ def _homography_batch(keys, x1, x2, n_valid, threshold, num_rounds):
     return jax.vmap(one)(keys, x1, x2, n_valid)
 
 
-def _batch_pairs(scene: Scene, pairs, pad: int):
-    """Stack per-pair correspondence coords, padded to `pad`."""
-    B = len(pairs)
-    dt = np.float32 if scene.config.ba_dtype == "float32" else np.float64
-    x1 = np.zeros((B, pad, 2), dt)
-    x2 = np.zeros((B, pad, 2), dt)
-    n = np.zeros(B, dtype=np.int32)
-    for b, (i, j) in enumerate(pairs):
-        m = scene.matches[(i, j)]
-        cnt = min(len(m), pad)
-        x1[b, :cnt] = scene.key_xy[i][m[:cnt, 0]]
-        x2[b, :cnt] = scene.key_xy[j][m[:cnt, 1]]
-        n[b] = cnt
-    return jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(n)
-
-
 def _device_key_table(scene: Scene, pairs):
     """[N, K, 2] device-resident padded keypoint table for the images in
     `pairs` + image→row map.  Verification at scale is HOST-UPLOAD bound
