@@ -15,7 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from bundler_sfm_tpu.ops.linalg_small import cholesky_solve, inv3
-from bundler_sfm_tpu.ops.ransac import exact_matmuls, hartley_normalize, run_ransac
+from bundler_sfm_tpu.ops.ransac import (
+    exact_matmuls, hartley_normalize, sample_indices, selection_matrix,
+)
 
 
 def homography_transfer_dist(H: jnp.ndarray, p1: jnp.ndarray,
@@ -66,16 +68,48 @@ def estimate_homography_ransac(key, p1, p2, n_valid, threshold,
     """Batched-hypothesis homography RANSAC + inlier refit.
 
     p1/p2: [N,2] padded correspondences; threshold in pixels (default 6.0,
-    `src/BundlerApp.h:61`). Returns (H, inlier_mask, num_inliers)."""
-    def fit(s1, s2):
-        m = jnp.ones(s1.shape[0], dtype=bool)
-        return fit_homography_dlt(s1, s2, m)
+    `src/BundlerApp.h:61`). Returns (H, inlier_mask, num_inliers).
 
-    def resid(H, a1, a2):
-        return homography_transfer_dist(H, a1, a2)
-
-    H, inl, cnt = run_ransac(key, fit, resid, p1, p2, n_valid,
-                             num_rounds, 4, threshold)
+    Hypothesis stage reworked like `fmatrix.estimate_fmatrix_ransac`:
+    GLOBAL Hartley normalization + precomputed per-correspondence
+    normal-equation contributions, so all R 4-point fits are ONE
+    [R,N]×[N,72] selection matmul + a batched 8×8 Cholesky — no per-sample
+    gathers or per-sample normalization chains."""
+    N = p1.shape[0]
+    dtype = p1.dtype
+    valid = jnp.arange(N) < n_valid
+    p1n, T1 = hartley_normalize(p1, valid)
+    p2n, T2 = hartley_normalize(p2, valid)
+    x, y = p1n[:, 0], p1n[:, 1]
+    xp, yp = p2n[:, 0], p2n[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, one, zero, zero, zero, -x * xp, -y * xp], axis=1)
+    r2 = jnp.stack([zero, zero, zero, x, y, one, -x * yp, -y * yp], axis=1)
+    # Per-point contribution to [AtA | Atb]: 64 + 8 entries.
+    outer = jnp.concatenate(
+        [(r1[:, :, None] * r1[:, None, :]
+          + r2[:, :, None] * r2[:, None, :]).reshape(N, 64),
+         r1 * xp[:, None] + r2 * yp[:, None]], axis=1)      # [N,72]
+    samples = sample_indices(key, num_rounds, 4, n_valid, N)
+    sel = selection_matrix(samples, N, dtype)
+    Mfull = sel @ outer                                     # [R,72]
+    AtA = Mfull[:, :64].reshape(num_rounds, 8, 8) \
+        + 1e-12 * jnp.eye(8, dtype=dtype)
+    Atb = Mfull[:, 64:]
+    h = jax.vmap(cholesky_solve)(AtA, Atb)
+    Hn = jnp.concatenate([h, jnp.ones((num_rounds, 1), dtype)],
+                         axis=1).reshape(num_rounds, 3, 3)
+    T2inv = inv3(T2)
+    Hh = jnp.einsum("ij,rjk,kl->ril", T2inv, Hn, T1)
+    Hh = Hh / Hh[:, 2:3, 2:3]
+    resid_all = jax.vmap(
+        lambda Hi: homography_transfer_dist(Hi, p1, p2))(Hh)
+    ok = jnp.isfinite(resid_all) & (resid_all < threshold) & valid[None, :]
+    counts = jnp.sum(ok, axis=1)
+    best = jnp.argmax(counts)
+    inl = ok[best]
+    cnt = counts[best]
     # Reference refits with least squares on the best model's inliers
     # (src/Register.cpp:147-149) and returns the pre-refit inlier set.
     H2 = fit_homography_dlt(p1, p2, inl)

@@ -33,6 +33,22 @@ def exact_matmuls(fn):
     return wrapped
 
 
+def selection_matrix(samples: jnp.ndarray, n_pad: int,
+                     dtype) -> jnp.ndarray:
+    """[R, k] sample indices -> [R, N] 0/1 selection matrix.
+
+    Contracting this against precomputed per-correspondence normal-equation
+    contributions turns R per-sample RANSAC fits into ONE MXU matmul —
+    no per-sample coordinate gathers (the gather + tiny-op chains were
+    the dominant cost of the vmapped fits on TPU; see
+    `fmatrix.estimate_fmatrix_ransac`)."""
+    iota = jnp.arange(n_pad, dtype=samples.dtype)
+    sel = jnp.zeros((samples.shape[0], n_pad), dtype)
+    for k in range(samples.shape[1]):
+        sel = sel + (samples[:, k, None] == iota[None, :]).astype(dtype)
+    return sel
+
+
 def sample_indices(key: jax.Array, num_rounds: int, sample_size: int,
                    n_valid: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     """[num_rounds, sample_size] distinct indices drawn from [0, n_valid).

@@ -17,8 +17,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from bundler_sfm_tpu.ops.linalg_small import solve3
-from bundler_sfm_tpu.ops.ransac import exact_matmuls, run_ransac
+from bundler_sfm_tpu.ops.linalg_small import cholesky_solve, solve3
+from bundler_sfm_tpu.ops.ransac import (
+    exact_matmuls, sample_indices, selection_matrix,
+)
 from bundler_sfm_tpu.ops.rotations import rq3, fix_intrinsics_sign
 
 
@@ -104,15 +106,76 @@ def find_projection_ransac(key, X, x, n_valid, threshold,
                            num_rounds: int = 4096):
     """RANSAC P from padded 2D-3D correspondences; threshold in px
     (reference compares squared dist to thresh², same test).
-    Returns (P, inlier_mask, num_inliers)."""
-    def fit(sX, sx):
-        return fit_projection_dlt(sX, sx, jnp.ones(sX.shape[0], dtype=bool))
+    Returns (P, inlier_mask, num_inliers).
 
-    def resid(P, aX, ax):
-        return projection_residual_cheirality(P, aX, ax)
+    TPU shape of the hypothesis stage (same rework as
+    `fmatrix.estimate_fmatrix_ransac`): Hartley normalization is GLOBAL, so
+    each 6-point sample's 12×12 DLT normal matrix is a 0/1-selection sum of
+    precomputed per-correspondence outer products — ONE [R,N]×[N,144] MXU
+    matmul for all R rounds, no per-sample gathers.  The minimal system is
+    solved INHOMOGENEOUSLY with P̃[2,3] = 1 (batched 11×11 Cholesky instead
+    of the [R,12,12] eigh that dominated the vmapped fit): after centering,
+    the true P̃[2,3] is the camera-frame depth of the valid points' centroid
+    — a convex combination of strictly-signed point depths, so it is
+    bounded away from zero for any camera that passes cheirality.  The
+    all-inlier polish below keeps the homogeneous eigh fit."""
+    N = X.shape[0]
+    dtype = X.dtype
+    valid = jnp.arange(N) < n_valid
+    w = valid.astype(dtype)
+    count = jnp.maximum(jnp.sum(w), 1.0)
+    # Global Hartley normalization — identical formulas to
+    # fit_projection_dlt, computed once over the valid set.
+    cX = jnp.sum(X * w[:, None], axis=0) / count
+    dX = jnp.sqrt(jnp.sum((X - cX) ** 2, axis=1) + 1e-300)
+    sX = jnp.sqrt(jnp.asarray(3.0, dtype)) / jnp.maximum(
+        jnp.sum(dX * w) / count, 1e-12)
+    Xn = (X - cX) * sX
+    cx = jnp.sum(x * w[:, None], axis=0) / count
+    dx = jnp.sqrt(jnp.sum((x - cx) ** 2, axis=1) + 1e-300)
+    sx = jnp.sqrt(jnp.asarray(2.0, dtype)) / jnp.maximum(
+        jnp.sum(dx * w) / count, 1e-12)
+    xn = (x - cx) * sx
 
-    P, inl, cnt = run_ransac(key, fit, resid, X, x, n_valid,
-                             num_rounds, 6, threshold)
+    Xh = jnp.concatenate([Xn, jnp.ones_like(Xn[:, :1])], axis=1)   # [N,4]
+    u = xn[:, 0:1]
+    v = xn[:, 1:2]
+    zero = jnp.zeros_like(Xh)
+    r1 = jnp.concatenate([Xh, zero, u * Xh], axis=1)               # [N,12]
+    r2 = jnp.concatenate([zero, Xh, v * Xh], axis=1)
+    outer = (r1[:, :, None] * r1[:, None, :]
+             + r2[:, :, None] * r2[:, None, :]).reshape(N, 144)
+    samples = sample_indices(key, num_rounds, 6, n_valid, N)
+    sel = selection_matrix(samples, N, dtype)
+    M = (sel @ outer).reshape(num_rounds, 12, 12)
+    # Inhomogeneous solve with p̃[11] = 1 (trace-scaled damping keeps the
+    # f32 Cholesky finite on near-degenerate samples; NaN/inf hypotheses
+    # score zero inliers below).
+    tr = jnp.trace(M[:, :11, :11], axis1=1, axis2=2)
+    A11 = M[:, :11, :11] + (1e-9 / 11.0) * tr[:, None, None] \
+        * jnp.eye(11, dtype=dtype)
+    b11 = -M[:, :11, 11]
+    p11 = jax.vmap(cholesky_solve)(A11, b11)
+    Pn = jnp.concatenate([p11, jnp.ones((num_rounds, 1), dtype)],
+                         axis=1).reshape(num_rounds, 3, 4)
+    # Shared un-normalization (see fit_projection_dlt for the D-conjugated
+    # T2⁻¹ derivation).
+    T2inv = jnp.array([[1.0 / sx, 0.0, -cx[0]],
+                       [0.0, 1.0 / sx, -cx[1]],
+                       [0.0, 0.0, 1.0]], dtype=dtype)
+    T3 = jnp.concatenate([
+        sX * jnp.concatenate([jnp.eye(3, dtype=dtype),
+                              (-cX)[:, None]], axis=1),
+        jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=dtype)], axis=0)
+    Ph = jnp.einsum("ij,rjk,kl->ril", T2inv, Pn, T3)
+    resid_all = jax.vmap(
+        lambda Pi: projection_residual_cheirality(Pi, X, x))(Ph)
+    ok = jnp.isfinite(resid_all) & (resid_all < threshold) & valid[None, :]
+    counts = jnp.sum(ok, axis=1)
+    best = jnp.argmax(counts)
+    P = Ph[best]
+    inl = ok[best]
+    cnt = counts[best]
     # Polish on inliers (reference refits + lmdif-polishes inside
     # find_projection_3x4_ransac's final stage).
     P2 = fit_projection_dlt(X, x, inl)
