@@ -50,6 +50,15 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
+        lib.build_tracks_edges.restype = ctypes.c_longlong
+        lib.build_tracks_edges.argtypes = [
+            ctypes.c_int, ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -100,22 +109,45 @@ def build_tracks_native(
     src_enc = np.concatenate(src_enc_l)
     dst_enc = np.concatenate(dst_enc_l)
     # The dict is symmetric, so every endpoint appears as a source.
-    nodes_enc = np.unique(src_enc)
-    n_nodes = len(nodes_enc)
-    src = np.searchsorted(nodes_enc, src_enc)
-    dst = np.searchsorted(nodes_enc, dst_enc)
-    ok = nodes_enc[np.minimum(dst, n_nodes - 1)] == dst_enc
-    src, dst = src[ok], dst[ok]
-    order = np.argsort(src, kind="stable")
-    src_s = src[order]
-    dst_s = dst[order]
-    offsets = np.zeros(n_nodes + 1, np.int64)
-    np.add.at(offsets[1:], src_s, 1)
-    offsets = np.cumsum(offsets)
+    # Node enumeration + edge-endpoint resolution via a dense
+    # [num_images, max_key+1] lookup table: key indices are bounded by the
+    # per-image key count, so the table is small and the O(E) gathers
+    # replace 2E binary searches (np.searchsorted was ~4 s at 10^7 edges).
+    max_key = int(src_enc & 0xFFFFFFFF) if src_enc.ndim == 0 else \
+        int((src_enc & 0xFFFFFFFF).max())
+    if max_key < (1 << 22):
+        mark = np.zeros(num_images * (max_key + 1), bool)
+        flat_src = ((src_enc >> 32) * (max_key + 1)
+                    + (src_enc & 0xFFFFFFFF)).astype(np.int64)
+        mark[flat_src] = True
+        lut = np.full(mark.shape, -1, np.int64)
+        node_flat = np.nonzero(mark)[0]
+        n_nodes = len(node_flat)
+        lut[node_flat] = np.arange(n_nodes)
+        nodes_enc = ((node_flat // (max_key + 1)) << 32) \
+            + (node_flat % (max_key + 1))
+        src = lut[flat_src]
+        dmask = dst_enc & 0xFFFFFFFF
+        dok = dmask <= max_key
+        flat_dst = ((dst_enc >> 32) * (max_key + 1) + dmask)
+        dst = np.where(dok, lut[np.where(dok, flat_dst, 0)], -1)
+        ok = dst >= 0
+        src, dst = src[ok], dst[ok]
+    else:          # degenerate huge key indices: binary-search fallback
+        nodes_enc = np.unique(src_enc)
+        n_nodes = len(nodes_enc)
+        src = np.searchsorted(nodes_enc, src_enc)
+        dst = np.searchsorted(nodes_enc, dst_enc)
+        ok = nodes_enc[np.minimum(dst, n_nodes - 1)] == dst_enc
+        src, dst = src[ok], dst[ok]
+    # CSR construction happens native-side (counting sort, stable — each
+    # node's neighbor order stays the edge insertion order, preserving the
+    # BFS visitation order of the numpy argsort path it replaces).
     out = np.empty(n_nodes, np.int32)
-    n_tracks = lib.build_tracks_bfs(
+    n_tracks = lib.build_tracks_edges(
         num_images, n_nodes, (nodes_enc >> 32).astype(np.int32),
-        offsets.astype(np.int64), dst_s.astype(np.int64), out)
+        len(src), np.ascontiguousarray(src, np.int64),
+        np.ascontiguousarray(dst, np.int64), out)
     # Group nodes by track id without a per-node Python loop.
     keep = out >= 0
     ids = out[keep]
