@@ -451,6 +451,16 @@ def _segsum_onehot(data, seg, num_segments: int):
     return out.reshape((num_segments,) + data.shape[1:])
 
 
+def _segsum_cams(data, prob: BAProblem, num_cams: int,
+                 window: int = 0, group_pts: int = 0):
+    """Per-camera segment sum of per-observation data, windowed when the
+    covisibility plan is active (data must be zero on invalid slots)."""
+    if window > 0 and group_pts > 0 and prob.schur_win is not None \
+            and window < num_cams:
+        return _segsum_windowed(data, prob, num_cams, window, group_pts)
+    return _segsum_onehot(data, prob.obs_cam, num_cams)
+
+
 def _point_sum(data, prob: BAProblem):
     """Per-point sum of per-observation data — in the slot layout this is a
     free reshape + masked reduce over the M view slots (no gather, no
@@ -630,8 +640,11 @@ def _linearize_obs(cam, pts, prob: BAProblem, window: int = 0,
     finite differences (`sba_levmar.c:336`).
     """
     R, dRdw = _camera_rotations(cam, prob)
-    co, Ro, dRo = _expand_cams(prob, cam, R, dRdw, window=window,
-                               group_pts=group_pts)
+    # The scaled camera mask rides the same one-hot expansion (9 extra
+    # columns) instead of a separate [O,9] cam_mask[obs_cam] gather.
+    mask_scaled = prob.cam_mask / prob.cam_scale[None]
+    co, Ro, dRo, ms = _expand_cams(prob, cam, R, dRdw, mask_scaled,
+                                   window=window, group_pts=group_pts)
     v = _pt_expand(pts, prob) - co[:, 0:3]
     p = jnp.sum(Ro * v[:, None, :], axis=2)
     f = co[:, 6]
@@ -670,7 +683,7 @@ def _linearize_obs(cam, pts, prob: BAProblem, window: int = 0,
     r = pred - prob.obs_xy
     m = prob.obs_valid[:, None]
     return (jnp.where(m, r, 0.0), jnp.where(m[:, :, None], A, 0.0),
-            jnp.where(m[:, :, None], B, 0.0))
+            jnp.where(m[:, :, None], B, 0.0), ms)
 
 
 def compute_cost(cam, pts, prob: BAProblem, loss: str = "l2",
@@ -708,7 +721,7 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
             return _segsum_windowed(data, prob, C, window, group_pts)
         return _segsum_onehot(data, prob.obs_cam, C)
 
-    r, A, B = _linearize_obs(cam, pts, prob, window, group_pts)
+    r, A, B, ms = _linearize_obs(cam, pts, prob, window, group_pts)
     # Robust rescaling with the FULL Triggs correction, exactly Ceres's
     # Corrector (internal/ceres/corrector.cc, as applied by the reference's
     # --use_ceres backend):
@@ -737,7 +750,7 @@ def build_normal_blocks(cam, pts, prob: BAProblem, fix_points: bool,
         rtB = (r[:, :, None] * B).sum(1)            # [O, 3]
         B = sq1[:, None, None] * (B - asn * r[:, :, None] * rtB[:, None, :])
         r = r * r_scale[:, None]
-    A = A * (prob.cam_mask[prob.obs_cam] * inv_s)[:, None, :]
+    A = A * ms[:, None, :]
     if fix_points:
         B = B * 0.0
     # Tiny contractions (k=2) as broadcast-multiply + sum: exact f32 on the
@@ -1040,22 +1053,29 @@ def _pmax(x, axis):
     return x if axis is None else jax.lax.pmax(x, axis)
 
 
-def _schur_matvec_sharded(x, U_aug, Y, W, prob: BAProblem, axis: str):
+def _schur_matvec_sharded(x, U_aug, Y, W, prob: BAProblem, axis: str,
+                          window: int = 0, group_pts: int = 0):
     """Matrix-free (S·x) from shard-local blocks: the off-diagonal
     point-coupled term never materializes S.  Per shard:
-      t_o = W_oᵀ x[cam(o)];  s_i = Σ_{o∈views(i)} t_o;
+      t_o = W_oᵀ x_expand(o);  s_i = Σ_{o∈views(i)} t_o;
       c_j = Σ_{o:cam=j} Y_o s_{pt(o)};  S·x = U_aug·x − psum(c).
     Communication is one [C,9] psum per product — C·36 bytes instead of the
-    C²·81·4-byte S_off reduction, and no replicated dense factorization."""
-    t = jnp.einsum("oab,oa->ob", W, x[prob.obs_cam])
+    C²·81·4-byte S_off reduction, and no replicated dense factorization.
+    Both the camera expansion and the camera reduction are slot-layout
+    one-hot MXU contractions (windowed when the covisibility plan is
+    active) — no per-observation gathers in the CG iteration."""
+    xo, = _expand_cams(prob, x, window=window, group_pts=group_pts)
+    t = jnp.einsum("oab,oa->ob", W, xo)
     s = _point_sum(t, prob)
     u = jnp.einsum("oab,ob->oa", Y, _pt_expand(s, prob))
-    c = jax.lax.psum(_segsum_onehot(u, prob.obs_cam, x.shape[0]), axis)
+    c = jax.lax.psum(
+        _segsum_cams(u, prob, x.shape[0], window, group_pts), axis)
     return jnp.einsum("jab,jb->ja", U_aug, x) - c
 
 
 def _solve_schur_cg_sharded(U_aug, Y, W, rhs, prob: BAProblem, axis: str,
-                            max_iters: int = 100, tol: float = 1e-8):
+                            max_iters: int = 100, tol: float = 1e-8,
+                            window: int = 0, group_pts: int = 0):
     """Distributed SCHUR_JACOBI-preconditioned CG on the reduced camera
     system (the >200-camera ITERATIVE_SCHUR configuration,
     src/BundleCeres.cpp:132-134,369-379, distributed): the preconditioner
@@ -1064,11 +1084,12 @@ def _solve_schur_cg_sharded(U_aug, Y, W, rhs, prob: BAProblem, axis: str,
     C = U_aug.shape[0]
     ywt = jnp.einsum("oab,ocb->oac", Y, W)                   # [O,9,9]
     D = U_aug - jax.lax.psum(
-        _segsum_onehot(ywt, prob.obs_cam, C), axis)
+        _segsum_cams(ywt, prob, C, window, group_pts), axis)
     Minv = jnp.linalg.inv(D + 1e-12 * jnp.eye(CNP, dtype=D.dtype))
 
     def matvec(x):
-        return _schur_matvec_sharded(x, U_aug, Y, W, prob, axis)
+        return _schur_matvec_sharded(x, U_aug, Y, W, prob, axis,
+                                     window, group_pts)
 
     def precond(r):
         return jnp.einsum("jab,jb->ja", Minv, r)
@@ -1140,8 +1161,10 @@ def _lm_loop(prob: BAProblem, max_iters: int, fix_points: bool,
             contrib = jnp.sum(Y * _pt_expand(g_p, prob)[:, None, :],
                               axis=2)
             rhs = g_c - jax.lax.psum(
-                _segsum_onehot(contrib, prob.obs_cam, C), axis)
-            dcam = _solve_schur_cg_sharded(U_aug, Y, W, rhs, prob, axis)
+                _segsum_cams(contrib, prob, C, window, group_pts), axis)
+            dcam = _solve_schur_cg_sharded(U_aug, Y, W, rhs, prob, axis,
+                                           window=window,
+                                           group_pts=group_pts)
         else:
             S_off, rhs_off = assemble_schur_off(Y, W, g_p, prob, C,
                                                 window=window,

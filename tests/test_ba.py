@@ -229,7 +229,7 @@ def test_linearize_obs_matches_autodiff(rng):
     cam = jnp.asarray(cam)
     pts = prob.pts0
 
-    r, A, B = _linearize_obs(cam, pts, prob)
+    r, A, B, _ms = _linearize_obs(cam, pts, prob)
 
     def one(ci, pi, xy, valid):
         def f(c, p):
@@ -564,3 +564,53 @@ def test_outlier_loop_windowed_matches_full(rng):
         np.asarray(b.pt_removed)[row_of])
     np.testing.assert_allclose(np.asarray(a.cam), np.asarray(b.cam),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_run_ba_windowed_loop_closure_heavy(rng):
+    """Hostile covisibility: 25 % of points are wide-span loop closures
+    (sent to the full-C tail).  The windowed run must still match the full
+    assembly exactly — the tail path is not a corner case here but a
+    quarter of the problem.  (`lib/sba-1.5/sba.h:70-78` CRS vmask handles
+    arbitrary sparsity; our windowed plan must too.)"""
+    from bundler_sfm_tpu.ops import ba
+    prob_f, prob_w, row_of, Wd, G = _banded_problem(rng, C=24, P=300,
+                                                    n_wide=75)
+    a = ba.run_ba(prob_f, max_iters=20, chunked=False)
+    b = ba.run_ba(prob_w, max_iters=20, chunked=False,
+                  window=Wd, group_pts=G)
+    assert int(a.iters) == int(b.iters)
+    np.testing.assert_allclose(np.asarray(a.cam), np.asarray(b.cam),
+                               rtol=1e-7, atol=1e-9)
+    assert float(a.cost) == pytest.approx(float(b.cost), rel=1e-9)
+
+
+def test_plan_schur_windows_falls_back_when_wide_dominates(rng):
+    """When wide-span (loop-closure) points dominate, the full-C tail would
+    erase the windowed win — plan_schur_windows must return None so callers
+    run the plain assembly (the round-2 cliff guard cannot silently
+    reappear as a mostly-tail 'windowed' plan)."""
+    from bundler_sfm_tpu.ops import ba
+    C, P = 64, 400
+    obs_cam, obs_pt = [], []
+    n_wide = int(0.55 * P)
+    for p in range(P):
+        if p < n_wide:
+            cams = [0, C // 2, C - 1]           # spans the full range
+        else:
+            c0 = int(rng.integers(0, C - 6))
+            cams = range(c0, c0 + 6)
+        for c in cams:
+            obs_cam.append(c)
+            obs_pt.append(p)
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    M = int(np.bincount(obs_pt).max())
+    plan = ba.plan_schur_windows(obs_cam, obs_pt, P, C, M,
+                                 min_cameras=8, windows=(8, 16, 32))
+    assert plan is None
+    # Sanity: the same scene with narrow covisibility DOES get a plan.
+    narrow_cam = np.where(obs_pt < n_wide,
+                          (obs_pt % (C - 6)) + obs_cam % 3, obs_cam)
+    plan2 = ba.plan_schur_windows(narrow_cam.astype(np.int32), obs_pt, P, C,
+                                  M, min_cameras=8, windows=(8, 16, 32))
+    assert plan2 is not None
