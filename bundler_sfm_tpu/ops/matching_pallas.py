@@ -12,7 +12,18 @@ fit VMEM — any Nd works, unlike the round-2 kernel that held the whole db
 resident (SURVEY.md §2 ann_1.1_char row: the reference bounds work with
 `annMaxPtsVisit`; we bound memory, never results — exact 2-NN).
 
-Distances are exact integers < 128·255² ≈ 2^23, representable in f32.
+Epilogue shape (the round-4 MFU rework): the kernel tracks the top-2 of
+the MAX-form score m = dots − b_sq/2 (argmax of m ≡ argmin of squared
+distance, since d = q_sq + b_sq − 2·dots = q_sq − 2m with q_sq constant
+per query row).  b_sq arrives PRECOMPUTED with padding rows poisoned to
++_BIG, which deletes the per-element distance assembly AND the validity
+masking from the inner loop — the per-element VPU work drops from ~11
+elementwise passes to ~5, and the VPU epilogue is what bounds this kernel
+(the int8 MXU matmul is ~3 µs/pair; the epilogue tens of µs).  d0/d1 are
+reconstructed as q_sq − 2m once per query at the end.  All quantities are
+half-integers below 2²³ for uint8 descriptors, so results stay
+BIT-IDENTICAL to the XLA path (including tie-breaking: ties resolve to
+the lowest index in both).
 """
 
 from __future__ import annotations
@@ -36,70 +47,75 @@ BD = 512      # db block per grid step (grid dim 1, streamed from HBM)
 _RESIDENT_DB_BYTES = 8 * 1024 * 1024
 
 
-def _min_and_arg(d, base_idx):
-    """Min + its index over axis 1 of [TQ, BD] without argmin lowering."""
-    dmin = jnp.min(d, axis=1, keepdims=True)           # [TQ, 1]
-    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + base_idx
-    idx = jnp.min(jnp.where(d <= dmin, col, jnp.int32(2 ** 30)), axis=1)
-    return dmin[:, 0], idx
+def _query_sq(q):
+    if q.dtype == jnp.int8:
+        qi = q.astype(jnp.int32)
+        return jnp.sum(qi * qi, axis=1, keepdims=True).astype(jnp.float32)
+    return jnp.sum(q * q, axis=1, keepdims=True)
 
 
-def _two_nn_kernel(q_ref, db_ref, nd_ref, d0_ref, i0_ref, d1_ref):
+def _block_scores(q, blk, bsq_blk):
+    """Max-form scores m = dots − b_sq/2 for one [TQ, BD] tile."""
+    if q.dtype == jnp.int8:
+        dots = jax.lax.dot_general(
+            q, blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+    else:
+        dots = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), blk.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return dots - 0.5 * bsq_blk[None, :]
+
+
+def _tile_top2(m, col):
+    """Exact top-2 maxima of [TQ, BD] + first-max column (local ids)."""
+    m0 = jnp.max(m, axis=1)                             # [TQ]
+    i0 = jnp.min(jnp.where(m == m0[:, None], col, jnp.int32(2 ** 30)),
+                 axis=1)
+    m1 = jnp.max(jnp.where(col == i0[:, None], jnp.float32(-_BIG), m),
+                 axis=1)
+    return m0, i0, m1
+
+
+def _merge_top2(r0, ri, r1, m0, i0, m1):
+    """Fold a new block's top-2 into the running top-2 (max-form; ties keep
+    the earlier/running entry — the lowest db index, as the XLA merge)."""
+    a_first = r0 >= m0
+    w0 = jnp.where(a_first, r0, m0)
+    wi = jnp.where(a_first, ri, i0)
+    loser = jnp.where(a_first, m0, r0)
+    own2 = jnp.where(a_first, r1, m1)
+    return w0, wi, jnp.maximum(loser, own2)
+
+
+def _two_nn_kernel(q_ref, db_ref, bsq_ref, d0_ref, i0_ref, d1_ref):
     row = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        d0_ref[row, :] = jnp.full((TQ,), _BIG, jnp.float32)
+        d0_ref[row, :] = jnp.full((TQ,), -_BIG, jnp.float32)
         i0_ref[row, :] = jnp.zeros((TQ,), jnp.int32)
-        d1_ref[row, :] = jnp.full((TQ,), _BIG, jnp.float32)
+        d1_ref[row, :] = jnp.full((TQ,), -_BIG, jnp.float32)
 
     q = q_ref[:]                                       # [TQ, 128]
-    int8_path = q.dtype == jnp.int8
-    if int8_path:
-        qi = q.astype(jnp.int32)
-        q_sq = jnp.sum(qi * qi, axis=1,
-                       keepdims=True).astype(jnp.float32)
-    else:
-        q_sq = jnp.sum(q * q, axis=1, keepdims=True)   # [TQ, 1]
-    nd_valid = nd_ref[0, 0]
     start = j * BD
-    blk = db_ref[:]                                    # [BD, 128]
-    if int8_path:
-        # Centered int8 operands (u8 − 128; distances shift-invariant):
-        # the MXU int8 path at 2× bf16 rate, exact i32 accumulation.
-        bi = blk.astype(jnp.int32)
-        b_sq = jnp.sum(bi * bi, axis=1).astype(jnp.float32)
-        dots = jax.lax.dot_general(
-            q, blk, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
-    else:
-        b_sq = jnp.sum(blk * blk, axis=1)              # [BD]
-        # bf16 operands are EXACT for uint8 descriptor values and run
-        # one MXU pass instead of f32's three; accumulation stays f32.
-        dots = jax.lax.dot_general(
-            q.astype(jnp.bfloat16), blk.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    d = q_sq + b_sq[None, :] - 2.0 * dots              # [TQ, BD]
-    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + start
-    d = jnp.where(col < nd_valid, d, jnp.float32(_BIG))
-    nd0, ni0 = _min_and_arg(d, start)
-    d_masked = jnp.where(col == ni0[:, None], jnp.float32(_BIG), d)
-    nd1, _ = _min_and_arg(d_masked, start)
-    # Merge running top-2 (in the revisited output rows) with block top-2.
-    d0, i0, d1 = d0_ref[row, :], i0_ref[row, :], d1_ref[row, :]
-    a_first = d0 <= nd0
-    m0 = jnp.where(a_first, d0, nd0)
-    j0 = jnp.where(a_first, i0, ni0)
-    loser = jnp.where(a_first, nd0, d0)
-    own2 = jnp.where(a_first, d1, nd1)
-    d0_ref[row, :] = m0
-    i0_ref[row, :] = j0
-    d1_ref[row, :] = jnp.minimum(loser, own2)
+    m = _block_scores(q, db_ref[:], bsq_ref[0, :])     # [TQ, BD]
+    col = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    m0, i0l, m1 = _tile_top2(m, col)
+    r0, ri, r1 = _merge_top2(d0_ref[row, :], i0_ref[row, :], d1_ref[row, :],
+                             m0, start + i0l, m1)
+    last = pl.num_programs(1) - 1
+    # Outputs hold the running MAX-form top-2 between steps; the last step
+    # converts to squared distances d = q_sq − 2m (exact: half-integers).
+    qsq = _query_sq(q)[:, 0]
+    d0_ref[row, :] = jnp.where(j == last, qsq - 2.0 * r0, r0)
+    i0_ref[row, :] = ri
+    d1_ref[row, :] = jnp.where(j == last, qsq - 2.0 * r1, r1)
 
 
-def _two_nn_kernel_resident(q_ref, db_ref, nd_ref, d0_ref, i0_ref, d1_ref):
+def _two_nn_kernel_resident(q_ref, db_ref, bsq_ref, d0_ref, i0_ref, d1_ref):
     """Whole-db-in-VMEM variant: grid over query tiles, fori over BD
     blocks of the resident table — no block DMA turnover between steps
     (measured 7.5k vs 5.7k pairs/s for the streamed grid at 2048x2048
@@ -107,56 +123,28 @@ def _two_nn_kernel_resident(q_ref, db_ref, nd_ref, d0_ref, i0_ref, d1_ref):
     blocks) was abandoned: the doubly-nested vmapped Mosaic program took
     >25 min to compile on the remote backend."""
     q = q_ref[:]                                       # [TQ, 128]
-    int8_path = q.dtype == jnp.int8
-    if int8_path:
-        qi = q.astype(jnp.int32)
-        q_sq = jnp.sum(qi * qi, axis=1,
-                       keepdims=True).astype(jnp.float32)
-    else:
-        q_sq = jnp.sum(q * q, axis=1, keepdims=True)   # [TQ, 1]
-    nd_valid = nd_ref[0, 0]
     num_blocks = db_ref.shape[0] // BD
+    col = jax.lax.broadcasted_iota(jnp.int32, (TQ, BD), 1)
 
     def body(b, carry):
-        d0, i0, d1 = carry
         start = b * BD
-        blk = db_ref[pl.ds(start, BD), :]              # [BD, 128]
-        if int8_path:
-            bi = blk.astype(jnp.int32)
-            b_sq = jnp.sum(bi * bi, axis=1).astype(jnp.float32)
-            dots = jax.lax.dot_general(
-                q, blk, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
-        else:
-            b_sq = jnp.sum(blk * blk, axis=1)          # [BD]
-            dots = jax.lax.dot_general(
-                q.astype(jnp.bfloat16), blk.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        d = q_sq + b_sq[None, :] - 2.0 * dots          # [TQ, BD]
-        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + start
-        d = jnp.where(col < nd_valid, d, jnp.float32(_BIG))
-        nd0, ni0 = _min_and_arg(d, start)
-        d_masked = jnp.where(col == ni0[:, None], jnp.float32(_BIG), d)
-        nd1, _ = _min_and_arg(d_masked, start)
-        a_first = d0 <= nd0
-        m0 = jnp.where(a_first, d0, nd0)
-        j0 = jnp.where(a_first, i0, ni0)
-        loser = jnp.where(a_first, nd0, d0)
-        own2 = jnp.where(a_first, d1, nd1)
-        return m0, j0, jnp.minimum(loser, own2)
+        m = _block_scores(q, db_ref[pl.ds(start, BD), :],
+                          bsq_ref[0, pl.ds(start, BD)])
+        m0, i0l, m1 = _tile_top2(m, col)
+        return _merge_top2(*carry, m0, start + i0l, m1)
 
-    init = (jnp.full((TQ,), _BIG, jnp.float32),
+    init = (jnp.full((TQ,), -_BIG, jnp.float32),
             jnp.zeros((TQ,), jnp.int32),
-            jnp.full((TQ,), _BIG, jnp.float32))
+            jnp.full((TQ,), -_BIG, jnp.float32))
     # int32 bounds: under jax_enable_x64 python-int bounds make the loop
     # counter int64, which Mosaic cannot lower.
-    d0, i0, d1 = jax.lax.fori_loop(jnp.int32(0), jnp.int32(num_blocks),
+    r0, ri, r1 = jax.lax.fori_loop(jnp.int32(0), jnp.int32(num_blocks),
                                    body, init)
     row = pl.program_id(0)
-    d0_ref[row, :] = d0
-    i0_ref[row, :] = i0
-    d1_ref[row, :] = d1
+    qsq = _query_sq(q)[:, 0]
+    d0_ref[row, :] = qsq - 2.0 * r0
+    i0_ref[row, :] = ri
+    d1_ref[row, :] = qsq - 2.0 * r1
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -168,22 +156,35 @@ def two_nn_pallas(query: jnp.ndarray, db: jnp.ndarray, db_count: jnp.ndarray,
     like `ops.matching.two_nn`."""
     nq = query.shape[0]
     nd = db.shape[0]
-    nd_arr = jnp.asarray(db_count, jnp.int32).reshape(1, 1)
     resident = nd * 128 * jnp.dtype(db.dtype).itemsize <= _RESIDENT_DB_BYTES
     # The package enables jax_enable_x64; Mosaic has no 64-bit types, and
     # x64 tracing leaks i64 into index maps.  This kernel is all-f32/i32, so
     # trace it with x64 off.
     with jax.enable_x64(False):
+        # Precomputed db norms with padding poisoned: rows >= db_count get
+        # b_sq = +_BIG, so their max-form score is ~-_BIG/2 and they can
+        # never enter the top-2 — no per-element validity masking in the
+        # kernel.  (d1 for a padded runner-up reconstructs to ~q_sq + _BIG
+        # ≈ _BIG, matching the XLA path's masked-distance value.)
+        if db.dtype == jnp.int8:
+            bi = db.astype(jnp.int32)
+            b_sq = jnp.sum(bi * bi, axis=1).astype(jnp.float32)
+        else:
+            b_sq = jnp.sum(db * db, axis=1).astype(jnp.float32)
+        b_sq = jnp.where(
+            jnp.arange(nd, dtype=jnp.int32)
+            < jnp.asarray(db_count, jnp.int32),
+            b_sq, jnp.float32(_BIG)).reshape(1, nd)
         if resident:
-            d0, i0, d1 = _call_resident(query, db, nd_arr, (nq // TQ,),
+            d0, i0, d1 = _call_resident(query, db, b_sq, (nq // TQ,),
                                         db.shape, nq, interpret)
         else:
-            d0, i0, d1 = _call(query, db, nd_arr, (nq // TQ, nd // BD),
+            d0, i0, d1 = _call(query, db, b_sq, (nq // TQ, nd // BD),
                                nq, interpret)
     return d0.reshape(nq), i0.reshape(nq), d1.reshape(nq)
 
 
-def _call_resident(query, db, nd_arr, grid, db_shape, nq, interpret):
+def _call_resident(query, db, b_sq, grid, db_shape, nq, interpret):
     return pl.pallas_call(
         _two_nn_kernel_resident,
         grid=grid,
@@ -192,8 +193,8 @@ def _call_resident(query, db, nd_arr, grid, db_shape, nq, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(db_shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, db_shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((nq // TQ, TQ), lambda i: (0, 0),
@@ -209,10 +210,10 @@ def _call_resident(query, db, nd_arr, grid, db_shape, nq, interpret):
             jax.ShapeDtypeStruct((nq // TQ, TQ), jnp.float32),
         ),
         interpret=interpret,
-    )(query, db, nd_arr)
+    )(query, db, b_sq)
 
 
-def _call(query, db, nd_arr, grid, nq, interpret):
+def _call(query, db, b_sq, grid, nq, interpret):
     return pl.pallas_call(
         _two_nn_kernel,
         grid=grid,
@@ -221,8 +222,8 @@ def _call(query, db, nd_arr, grid, nq, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BD, 128), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, BD), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((nq // TQ, TQ), lambda i, j: (0, 0),
@@ -238,4 +239,4 @@ def _call(query, db, nd_arr, grid, nq, interpret):
             jax.ShapeDtypeStruct((nq // TQ, TQ), jnp.float32),
         ),
         interpret=interpret,
-    )(query, db, nd_arr)
+    )(query, db, b_sq)
