@@ -19,13 +19,15 @@ returned F satisfies  r ≈ image2, l ≈ image1:  x2ᵀ F x1 = 0.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
 
 from bundler_sfm_tpu.ops.linalg_small import cholesky_solve
-from bundler_sfm_tpu.ops.ransac import exact_matmuls, hartley_normalize, run_ransac, sample_indices
+from bundler_sfm_tpu.ops.ransac import (
+    exact_matmuls, hartley_normalize, sample_indices, selection_matrix,
+)
 
 
 def fmatrix_residual(F: jnp.ndarray, r: jnp.ndarray, l: jnp.ndarray) -> jnp.ndarray:
@@ -43,22 +45,29 @@ def fmatrix_residual(F: jnp.ndarray, r: jnp.ndarray, l: jnp.ndarray) -> jnp.ndar
 
 
 def _closest_rank2(F: jnp.ndarray, essential: bool) -> jnp.ndarray:
-    """Rank-2 projection; for essential also force equal singular values
-    (reference `closest_rank2_matrix` / `closest_rank2_matrix_ssv`).
+    """Rank-2 projection U·diag(σ₁,σ₂,0)·Vᵀ; for essential also force equal
+    singular values (reference `closest_rank2_matrix` /
+    `closest_rank2_matrix_ssv`).  svd_small routes 3×3 through the
+    closed-form eigh3x3, which is what made the vmapped RANSAC fits fast
+    (the XLA iterative eigh was 77 % of the batched fit).
 
-    The plain-F case needs only the SMALLEST right singular vector v₃
-    (closed-form eigh3x3 of FᵀF): F·v₃ = σ₃·u₃, so the nearest rank-2
-    matrix F − σ₃u₃v₃ᵀ is exactly F(I − v₃v₃ᵀ) — no full SVD recompose,
-    which was the dominant cost of the vmapped RANSAC fit on TPU."""
-    from bundler_sfm_tpu.ops.svd_utils import eigh3x3, svd_small
-    if not essential:
-        FtF = F.T @ F
-        _, V = eigh3x3(FtF)
-        v3 = V[..., :, 0]                      # smallest eigenvector
-        return F - (F @ v3)[..., :, None] * v3[..., None, :]
+    HISTORY (round-4 bisect): a prior fast path computed the plain-F case
+    as F(I − v₃v₃ᵀ) from the smallest eigenvector only.  Algebraically
+    identical to the recompose (A·(v₁v₁ᵀ+v₂v₂ᵀ) with orthogonal V), its
+    f32 rounding profile differs near the 9-px inlier threshold, and that
+    alone drifted the deterministic kermit reconstruction 0.34 → 0.49 px
+    through shifted surviving match sets.  The recompose measures the SAME
+    speed on chip (331 vs 355 ms per 128-pair × 2048-round verification
+    dispatch) — keep the formula whose downstream behavior matches the
+    reference, and let the kermit golden gate (err < 0.55 px,
+    tests/test_kermit_golden.py) catch any recurrence."""
+    from bundler_sfm_tpu.ops.svd_utils import svd_small
     U, S, Vt = svd_small(F)
-    s = 0.5 * (S[0] + S[1])
-    S2 = jnp.array([s, s, 0.0], dtype=F.dtype)
+    if essential:
+        sm = 0.5 * (S[0] + S[1])
+        S2 = jnp.array([sm, sm, 0.0], dtype=F.dtype)
+    else:
+        S2 = jnp.array([S[0], S[1], 0.0], dtype=F.dtype)
     return (U * S2[None, :]) @ Vt
 
 
@@ -119,10 +128,7 @@ def estimate_fmatrix_ransac(key, x1, x2, n_valid, threshold,
                    jnp.ones_like(u)], axis=1)              # [N,9]
     Pouter = (a[:, :, None] * a[:, None, :]).reshape(N, 81)
     samples = sample_indices(key, num_rounds, 8, n_valid, N)   # [R,8]
-    iota = jnp.arange(N, dtype=samples.dtype)
-    sel = jnp.zeros((num_rounds, N), dtype)
-    for k in range(8):
-        sel = sel + (samples[:, k, None] == iota[None, :]).astype(dtype)
+    sel = selection_matrix(samples, N, dtype)
     M = (sel @ Pouter).reshape(num_rounds, 9, 9)
     AtA = M[:, :8, :8] + 1e-12 * jnp.eye(8, dtype=dtype)
     Atb = -M[:, :8, 8]
