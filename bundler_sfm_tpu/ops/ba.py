@@ -393,11 +393,6 @@ def _segsum_windowed(data, prob: BAProblem, num_segments: int,
     oc = prob.obs_cam[:Ow].reshape(nwin, GM)
     local = oc - starts[:, None]
     iota_w = jnp.arange(window, dtype=oc.dtype)
-    oh = (local[:, :, None] == iota_w[None, None, :]).astype(flat.dtype)
-    part = jax.lax.dot_general(
-        oh, flat[:Ow].reshape(nwin, GM, K),
-        (((1,), (1,)), ((0,), (0,))),                # contract GM, batch nwin
-        precision=jax.lax.Precision.HIGHEST)         # [nwin, window, K]
 
     out0 = jnp.zeros((C, K), flat.dtype) + 0.0 * flat.reshape(-1)[0]
 
@@ -408,7 +403,21 @@ def _segsum_windowed(data, prob: BAProblem, num_segments: int,
         old = jax.lax.dynamic_slice(out, (s, zi), (window, K))
         return jax.lax.dynamic_update_slice(out, old + p, (s, zi)), None
 
-    out, _ = jax.lax.scan(acc, out0, (part, starts))
+    # Chunk the [nwin, GM, window] one-hot under the memory budget (it can
+    # reach GBs at photo-tourism window counts); each chunk is one batched
+    # MXU contraction followed by the per-window accumulate scan.
+    nch = max(1, _ONEHOT_BUDGET // max(GM * window, 1))
+    flatw = flat[:Ow].reshape(nwin, GM, K)
+    out = out0
+    for s0 in range(0, nwin, nch):
+        s1 = min(s0 + nch, nwin)
+        oh = (local[s0:s1, :, None]
+              == iota_w[None, None, :]).astype(flat.dtype)
+        part = jax.lax.dot_general(
+            oh, flatw[s0:s1],
+            (((1,), (1,)), ((0,), (0,))),        # contract GM, batch nwin
+            precision=jax.lax.Precision.HIGHEST)     # [bs, window, K]
+        out, _ = jax.lax.scan(acc, out, (part, starts[s0:s1]))
     if Ow < data.shape[0]:
         out = out + _segsum_onehot(
             flat[Ow:], prob.obs_cam[Ow:], C).reshape(C, K)
@@ -541,10 +550,18 @@ def _expand_cams_windowed(prob: BAProblem, window: int, group_pts: int,
     oc = prob.obs_cam[:Ow].reshape(nwin, GM)
     local = jnp.clip(oc - starts[:, None], 0, window - 1)
     iota_w = jnp.arange(window, dtype=oc.dtype)
-    oh = (local[:, :, None] == iota_w[None, None, :]).astype(flat.dtype)
-    rows = jax.lax.dot_general(
-        oh, flatwin, (((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST)          # [nwin, GM, K]
+    # Chunk the [nwin, GM, window] one-hot under the memory budget (same
+    # rationale as _segsum_windowed's chunking).
+    nch = max(1, _ONEHOT_BUDGET // max(GM * window, 1))
+    parts = []
+    for s0 in range(0, nwin, nch):
+        s1 = min(s0 + nch, nwin)
+        oh = (local[s0:s1, :, None]
+              == iota_w[None, None, :]).astype(flat.dtype)
+        parts.append(jax.lax.dot_general(
+            oh, flatwin[s0:s1], (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST))     # [bs, GM, K]
+    rows = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     rows = rows.reshape(Ow, K)
     if Ow < prob.obs_cam.shape[0]:
         tail = _expand_cams_flat(flat, prob.obs_cam[Ow:], C)

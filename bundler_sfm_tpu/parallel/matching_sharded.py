@@ -27,9 +27,9 @@ AXIS = "shard"
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "block", "max_out",
-                                              "out_dtype"))
+                                              "out_dtype", "num_rots"))
 def _ring_match_all_pairs(table, counts, ratio_sq, mesh: Mesh, block: int,
-                          max_out: int, out_dtype):
+                          max_out: int, out_dtype, num_rots: int):
     """All-pairs matching over a DEVICE-RESIDENT image-sharded descriptor
     table with a ppermute ring (SURVEY.md §5's multi-host all-pairs
     prescription — the ring-attention communication pattern applied to
@@ -40,11 +40,16 @@ def _ring_match_all_pairs(table, counts, ratio_sq, mesh: Mesh, block: int,
     around the ring; at step r device d matches its queries against shard
     (d + r) mod D.  Communication per step is one [I, K, 128] ppermute over
     ICI/DCN; the padded host stacks of match_pairs_sharded never exist.
-    Returns (out [D, D, I, I, max_out, 2], cnt [D, D, I, I]) where
-    out[d, r, qi, di] are matches of global image d·I+qi (queries) against
-    (d+r)%D·I+di; lanes with global_q >= global_db are masked to cnt = -1
-    (each unordered pair is produced exactly once, i < j, matching
-    KeyMatchFull's j<i traversal direction, src/KeyMatchFull.cpp:105-151)."""
+    Returns (out [D, R, I, I, max_out, 2], cnt [D, R, I, I]) with
+    R = num_rots ring rotations, where out[d, r, qi, di] are matches of
+    global image d·I+qi (queries) against (d+r)%D·I+di; lanes with
+    global_q >= global_db are masked to cnt = -1 (each unordered pair is
+    produced exactly once, i < j, matching KeyMatchFull's j<i traversal
+    direction, src/KeyMatchFull.cpp:105-151).  num_rots < D runs a BANDED
+    ring: pair (i, j) lands at rotation (shard(j) − shard(i)) mod D, so a
+    window-limited pair list needs only the rotations its shard distances
+    reach — the all-pairs work reduction `--window` gets on the
+    single-device path (src/KeyMatchFull.cpp:117-121)."""
     D = mesh.devices.size
     axis = mesh.axis_names[0]
     perm = [(i, (i - 1) % D) for i in range(D)]
@@ -83,10 +88,11 @@ def _ring_match_all_pairs(table, counts, ratio_sq, mesh: Mesh, block: int,
             db_cnt = jax.lax.ppermute(db_cnt, axis, perm)
             return db_tab, db_cnt, outs, cnts
 
-        outs0 = jnp.zeros((D, I, I, max_out, 2), out_dtype)
-        cnts0 = jnp.full((D, I, I), -1, jnp.int32)
+        outs0 = jnp.zeros((num_rots, I, I, max_out, 2), out_dtype)
+        cnts0 = jnp.full((num_rots, I, I), -1, jnp.int32)
         _, _, outs, cnts = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(D), step, (tab, cnt, outs0, cnts0))
+            jnp.int32(0), jnp.int32(num_rots), step,
+            (tab, cnt, outs0, cnts0))
         return outs[None], cnts[None]
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
@@ -123,20 +129,22 @@ class ShardedDescriptorTable:
         self.counts = globalize(counts, mesh, P(AXIS))
 
     def match_all_pairs(self, ratio: float = 0.6, min_matches: int = 16,
-                        max_out: int = 2048
+                        max_out: int = 2048, num_rots: int = None
                         ) -> Dict[Tuple[int, int], np.ndarray]:
+        D = self.mesh.devices.size
+        num_rots = D if num_rots is None else max(1, min(num_rots, D))
         max_out = min(max_out, self.table.shape[2])
         out_dtype = jnp.int16 if self.table.shape[2] <= 32767 else jnp.int32
         from bundler_sfm_tpu.parallel.mesh import fetch
         m, c = _ring_match_all_pairs(
             self.table, self.counts, jnp.float32(ratio * ratio), self.mesh,
-            self.block, max_out, out_dtype)
+            self.block, max_out, out_dtype, num_rots)
         m = fetch(m, self.mesh)
         c = fetch(c, self.mesh)
-        D, _, I = c.shape[:3]
+        D, R, I = c.shape[:3]
         out: Dict[Tuple[int, int], np.ndarray] = {}
         for d in range(D):
-            for r in range(D):
+            for r in range(R):
                 src = (d + r) % D
                 for qi in range(I):
                     for di in range(I):
@@ -155,18 +163,37 @@ class ShardedDescriptorTable:
         """DescriptorTable.match_pairs-compatible entry: run the ring pass
         (each device holds 1/D of the table — the production multi-device
         path; the replicated-table matcher won't fit photo-tourism scale)
-        and filter to the requested pair list.  A window-limited pair list
-        still pays the all-pairs ring; the win is memory scaling, matching
-        `src/KeyMatchFull.cpp:117-121`'s banding applied per shard."""
+        and filter to the requested pair list.
+
+        CONTRACT: pairs must be CANONICAL (i < j) — 2-NN ratio matching is
+        asymmetric and the ring only computes the i-queries-j direction
+        (the KeyMatchFull direction); a reversed request would silently
+        mean a different match set.  A window-limited pair list runs a
+        BANDED ring: only the shard-distance rotations the pair list
+        reaches are executed (the multi-device analogue of
+        `src/KeyMatchFull.cpp:117-121`'s banding).  With min_matches == 0,
+        requested pairs with zero matches appear as empty entries, like
+        the single-device DescriptorTable."""
+        bad = [(a, b) for (a, b) in pairs if a >= b]
+        if bad:
+            raise ValueError(
+                f"match_pairs requires canonical (i < j) pairs; got {bad[:3]}"
+                f"{'...' if len(bad) > 3 else ''}")
+        D = self.mesh.devices.size
+        I = self.images_per_shard
+        num_rots = 1 + max(((b // I) - (a // I)) % D for (a, b) in pairs) \
+            if pairs else 1
         allp = self.match_all_pairs(ratio=ratio, min_matches=1,
-                                    max_out=max_out)
+                                    max_out=max_out, num_rots=num_rots)
+        empty = np.zeros((0, 2), np.int32)
         out: Dict[Tuple[int, int], np.ndarray] = {}
         for (a, b) in pairs:
             m = allp.get((a, b))
             if m is None:
-                rev = allp.get((b, a))
-                m = rev[:, ::-1] if rev is not None else None
-            if m is not None and len(m) >= min_matches:
+                if min_matches == 0:
+                    out[(a, b)] = empty
+                continue
+            if len(m) >= min_matches:
                 out[(a, b)] = m
         return out
 
