@@ -80,18 +80,54 @@ def measure_ba_iter(num_cams, num_pts, obs_per_pt, iters, dtype):
     return dt / max(int(r.iters), 1)
 
 
-def comm_seconds_per_iter(num_cams, D, ici_bytes_per_s, hop_s):
-    """Ring all-reduce cost of run_ba_sharded's per-iteration psums."""
+def comm_seconds_per_iter(num_cams, D, ici_bytes_per_s, hop_s,
+                          solver="chol", cg_iters=25):
+    """Ring all-reduce cost of run_ba_sharded's per-iteration psums.
+
+    solver="chol": the dense path psums the full S_off [C,C,9,9] each
+    iteration (the <=200-camera configuration).  solver="cg": the
+    matrix-free distributed PCG (the >200-camera ITERATIVE_SCHUR
+    configuration) psums only U/g_c/rhs-contrib [C,9,9]+[C,9] blocks plus
+    one [C,9] per CG iteration — the round-3/4 kernels' payload, orders
+    of magnitude below the dense S_off reduction at photo-tourism C."""
     if D == 1:
         return 0.0
     C = num_cams
     fl = 4  # f32 on chip
-    # blocks(): U[C,9,9], g_c[C,9], cost; step(): S_off[C,C,9,9], rhs[C,9];
-    # body(): pred/dnorm/pnorm/gmax scalars (4 psums/pmaxes).
-    payload = fl * (C * 81 + C * 9 + 1 + C * C * 81 + C * 9 + 4)
+    if solver == "cg":
+        # blocks(): U[C,9,9], g_c[C,9], cost; damped_step(): rhs contrib
+        # [C,9], D precond [C,9,9]; CG: one [C,9] psum per iteration;
+        # body(): 4 scalar psums/pmaxes.
+        payload = fl * (2 * C * 81 + 2 * C * 9 + 1 + cg_iters * C * 9 + 4)
+        launches = 6 + cg_iters
+    else:
+        # blocks(): U[C,9,9], g_c[C,9], cost; step(): S_off[C,C,9,9],
+        # rhs[C,9]; body(): 4 scalar psums/pmaxes.
+        payload = fl * (C * 81 + C * 9 + 1 + C * C * 81 + C * 9 + 4)
+        launches = 6
     bw_term = 2.0 * (D - 1) / D * payload / ici_bytes_per_s
-    lat_term = 2.0 * (D - 1) * hop_s * 6   # 6 collective launches/iter
+    lat_term = 2.0 * (D - 1) * hop_s * launches
     return bw_term + lat_term
+
+
+def ring_matcher_model(n_images, keys_per_image, D, ici_bytes_per_s,
+                       pairs_per_s_one_chip):
+    """Projected efficiency of the image-sharded ppermute ring matcher
+    (`ShardedDescriptorTable`): per all-pairs pass each device computes
+    N²/2D pair matches and forwards its [I, K, 128] int8 db shard D times
+    around the ring.  Comm can overlap the next rotation's compute
+    (double-buffered); the model charges max(0, comm − compute) per step,
+    an upper bound on the exposed cost."""
+    if D == 1:
+        return 1.0
+    I = -(-n_images // D)
+    shard_bytes = I * keys_per_image * 128  # int8
+    compute_s = (n_images * n_images / 2.0 / D) / pairs_per_s_one_chip
+    comm_s = D * shard_bytes / ici_bytes_per_s
+    per_step_compute = compute_s / D
+    per_step_comm = shard_bytes / ici_bytes_per_s
+    exposed = D * max(0.0, per_step_comm - per_step_compute)
+    return round(compute_s / (compute_s + exposed), 3)
 
 
 def measure_matching(keys_per_image, pairs_per_batch):
@@ -140,15 +176,22 @@ def main():
 
     ici = args.ici_gbps * 1e9
     hop = args.hop_us * 1e-6
+    # Solver follows the Ceres-parity policy: dense Cholesky <= 200
+    # cameras, matrix-free distributed CG above (BundleCeres.cpp:132-134).
+    solver = "cg" if args.cams > 200 else "chol"
     projected_ms, efficiency = {}, {}
     t1 = measured_ms[1]
     for D in sweep:
-        comm = 1e3 * comm_seconds_per_iter(args.cams, D, ici, hop)
+        comm = 1e3 * comm_seconds_per_iter(args.cams, D, ici, hop,
+                                           solver=solver)
         tD = measured_ms[D] + comm
         projected_ms[D] = round(tD, 3)
         efficiency[D] = round(t1 / (D * tD), 3)
 
     matching = measure_matching(1024, [8, 16, 32, 64])
+    rate1 = max(matching.values())
+    ring_eff = {D: ring_matcher_model(256, 2048, D, ici, rate1)
+                for D in sweep}
 
     print(json.dumps({
         "metric": "projected_scaling_efficiency",
@@ -156,14 +199,16 @@ def main():
         "unit": "fraction at 8 chips",
         "platform": platform,
         "ba_problem": {"cams": args.cams, "pts": args.pts,
-                       "obs": args.pts * args.obs_per_pt},
+                       "obs": args.pts * args.obs_per_pt,
+                       "solver": solver},
         "ba_measured_ms_per_iter_per_shard": measured_ms,
         "ba_projected_ms_per_iter": projected_ms,
         "ba_projected_efficiency": efficiency,
         "comm_model": {"ici_gbps": args.ici_gbps, "hop_us": args.hop_us,
                        "psum_payload_mb": round(
-                           4 * (args.cams ** 2 * 81 + args.cams * 99 + 5)
-                           / 1e6, 3)},
+                           comm_seconds_per_iter(args.cams, 2, 1.0, 0.0,
+                                                 solver=solver) / 1e6, 3)},
+        "ring_matcher_projected_efficiency_256img": ring_eff,
         "matching_pairs_per_s_vs_batch": matching,
     }))
 
