@@ -441,7 +441,27 @@ def extract_sift_batch(images, max_keys_total: int = 4096,
     groups = {}
     for i, im in enumerate(images):
         groups.setdefault(tuple(im.shape), []).append(i)
-    for shape, idxs in groups.items():
+    # Bound batch_size x candidate_budget: the octave extraction peaks at a
+    # [B*k, 6, 32, 32] f32 patch tensor, which hit 24 GB (HBM OOM) on a
+    # 64-image group at k=4096.  Chunks beyond the first are PADDED to the
+    # chunk size by repeating the first image so one compiled shape serves
+    # every chunk (remote compiles cost minutes).
+    _SIFT_BATCH_KEY_BUDGET = 45056          # = 11 images x 4096 keys
+    for shape, all_idxs in groups.items():
+        bmax = max(1, _SIFT_BATCH_KEY_BUDGET // max(max_keys_total, 1))
+        chunked = len(all_idxs) > bmax
+        for c0 in range(0, len(all_idxs), bmax):
+            idxs = all_idxs[c0:c0 + bmax]
+            n_real = len(idxs)
+            if chunked and n_real < bmax:
+                idxs = idxs + [idxs[0]] * (bmax - n_real)
+            _extract_sift_group(images, idxs, n_real, out, max_keys_total,
+                                upsample, contrast_thr, edge_thr, shape)
+    return out
+
+
+def _extract_sift_group(images, idxs, n_real, out, max_keys_total,
+                        upsample, contrast_thr, edge_thr, shape):
         stack = np.stack([np.asarray(images[i], np.float32) for i in idxs])
         H, W = shape
         if upsample:
@@ -476,7 +496,7 @@ def extract_sift_batch(images, max_keys_total: int = 4096,
             scale *= 2.0
             octave += 1
 
-        for bi, i in enumerate(idxs):
+        for bi, i in enumerate(idxs[:n_real]):
             info = (np.concatenate(per_info[bi]) if per_info[bi]
                     else np.zeros((0, 4), np.float32))
             desc = (np.concatenate(per_desc[bi]) if per_desc[bi]
@@ -486,7 +506,6 @@ def extract_sift_batch(images, max_keys_total: int = 4096,
                 keep = order[:max_keys_total]
                 info, desc = info[keep], desc[keep]
             out[i] = (info.astype(np.float32), desc)
-    return out
 
 
 def load_grayscale(path: str) -> np.ndarray:
