@@ -125,12 +125,16 @@ def remove_border_matches(scene: Scene) -> None:
 
 def _auto_batch(num_pairs: int, batch) -> int:
     """Pairs per dispatch.  Small collections stay on the small compiled
-    shape; big pair lists jump to 128/dispatch — at 2016 pairs the
-    16-pair batching cost 126 dispatches (~34s of RTT + per-call overhead
-    on a remote-TPU link) where 16 dispatches suffice."""
+    shape; big pair lists jump to 128 then 256/dispatch — at 32,640 pairs
+    (256 images) the 128-pair batching cost 510 verify dispatches whose
+    per-call overhead (~80 ms RTT on a remote-TPU link) was over a third
+    of the bundle stage; 256/dispatch halves it and the [B,R,N] score
+    tile stays ~1.3 GB."""
     if batch is not None:
         return batch
-    return 16 if num_pairs <= 64 else 128
+    if num_pairs <= 64:
+        return 16
+    return 128 if num_pairs <= 4096 else 256
 
 
 def compute_epipolar_geometry(scene: Scene, seed: int = 0,
