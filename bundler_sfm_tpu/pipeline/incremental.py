@@ -408,8 +408,16 @@ def run_sfm(recon: Reconstruction, scene: Scene,
                     pc_con[k] = anchor
             pw = pt_weight
 
-        Cp = _round_up(C, 4)
-        Mp = _round_up(int(np.bincount(obs_pt).max()), 4)
+        # Power-of-2 buckets: an incremental run re-enters here every
+        # registration round with a slightly larger C/M — granularity-4
+        # rounding compiled ~18 distinct BA program shapes per 64-image run,
+        # and on the remote backend each distinct shape pays a per-process
+        # first-execution load (BASELINE.md round-4 from-pixels analysis).
+        # Powers of two cap the shape count at O(log C) for ≤2× padding;
+        # the padded cameras/views are masked, so only FLOPs are wasted —
+        # cheap next to the per-shape load through the tunnel.
+        Cp = _bucket(C, 8)
+        Mp = _bucket(int(np.bincount(obs_pt).max()), 8)
         # Per-camera stat-table slots, bucketed so camera-count growth
         # reuses compiled shapes.
         Sp = _bucket(int(num_vis.max()), 256)
@@ -830,7 +838,7 @@ def bundle_initialize_images(recon: Reconstruction, scene: Scene,
         return []
 
     B = len(cands)
-    Bp = _round_up(B, 4)
+    Bp = _bucket(B, 4)   # power-of-2: candidate count varies every round
     pad = _bucket(max(len(c["pts3"]) for c in cands), 64)
     Xp = np.zeros((Bp, pad, 3), dt)
     xp = np.zeros((Bp, pad, 2), dt)
@@ -1043,7 +1051,9 @@ def add_all_new_points(recon: Reconstruction, scene: Scene) -> int:
         return 0
 
     T = len(tracks)
-    M = _round_up(max(len(v) for _, v in tracks), 4)
+    # Power-of-2 view padding: the max track length creeps up each round,
+    # and each new M is a new triangulation program shape on the device.
+    M = _bucket(max(len(v) for _, v in tracks), 4)
     dt = _dt(cfg)
     # Vectorized fill (a per-(track, view) Python loop here costs ~1s/round
     # at 64-image scale): flatten all views, fancy-index camera state.
@@ -1099,11 +1109,30 @@ def add_all_new_points(recon: Reconstruction, scene: Scene) -> int:
     if not cfg.panorama_mode:
         # Triangulate all candidates at once.
         counter("dispatches")
+        # Pad the track count to a power-of-2 bucket: T differs every
+        # registration round, and an unpadded T is a fresh device program
+        # shape per round (costly per-process load on the remote backend).
+        # Padded rows are all-masked; their outputs are sliced away.
+        Tp = _bucket(T, 64)
+        if Tp > T:
+            def _padT(a, fill=0.0):
+                out = np.full((Tp,) + a.shape[1:], fill, a.dtype)
+                out[:T] = a
+                return out
+            xy_d, ks_d, cs_d = _padT(xy), _padT(ks), _padT(cs)
+            fs_d = _padT(fs, 1.0)
+            Rs_d = np.broadcast_to(np.eye(3, dtype=dt),
+                                   (Tp, M, 3, 3)).copy()
+            Rs_d[:T] = Rs
+            mask_d = np.zeros((Tp, M), dtype=bool)
+            mask_d[:T] = mask
+        else:
+            xy_d, fs_d, ks_d, Rs_d, cs_d, mask_d = xy, fs, ks, Rs, cs, mask
         X, err = triangulate_tracks_pixels(
-            jnp.asarray(xy), jnp.asarray(fs), jnp.asarray(ks),
-            jnp.asarray(Rs), jnp.asarray(cs), jnp.asarray(mask))
-        X = np.asarray(X)
-        err = np.asarray(err)
+            jnp.asarray(xy_d), jnp.asarray(fs_d), jnp.asarray(ks_d),
+            jnp.asarray(Rs_d), jnp.asarray(cs_d), jnp.asarray(mask_d))
+        X = np.asarray(X)[:T]
+        err = np.asarray(err)[:T]
     else:
         # Panorama mode: place each track on its first view's ray
         # (`GeneratePointAtInfinity`, src/BundleAdd.cpp:129-176, selected at
