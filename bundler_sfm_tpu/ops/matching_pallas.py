@@ -46,6 +46,15 @@ BD = 512      # db block per grid step (grid dim 1, streamed from HBM)
 # above it the db streams through grid dim 1 with double-buffered DMA.
 _RESIDENT_DB_BYTES = 8 * 1024 * 1024
 
+# One-shot epilogue eligibility: the whole [TQ_OB, Nd] f32 score tile is
+# materialized at once (no fori merges).  Round-4 probe at 2208 pairs/
+# dispatch (probe_pallas_variants.py): 33.2 TFLOP/s int8-equivalent vs the
+# fori-resident kernel's 23.1 — the per-block merge chain was ~30% of the
+# kernel.  TQ_OB=128 measured fastest of {128, 256, 512, 1024}; outputs
+# bit-identical.  Nd cap keeps the score tile ≤ 8 MB VMEM.
+TQ_OB = 128
+_ONEBLOCK_MAX_ND = 16384
+
 
 def _query_sq(q):
     if q.dtype == jnp.int8:
@@ -115,6 +124,28 @@ def _two_nn_kernel(q_ref, db_ref, bsq_ref, d0_ref, i0_ref, d1_ref):
     d1_ref[row, :] = jnp.where(j == last, qsq - 2.0 * r1, r1)
 
 
+def _two_nn_kernel_oneblock(q_ref, db_ref, bsq_ref, d0_ref, i0_ref, d1_ref):
+    """Whole-db, single-score-tile variant: one [TQ_OB, Nd] max-form tile
+    per grid step, top-2 in one `_tile_top2` pass — no fori merge chain.
+    Fastest resident path when the score tile fits VMEM (see TQ_OB note)."""
+    q = q_ref[:]                                       # [TQ_OB, 128]
+    dots = jax.lax.dot_general(
+        q, db_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) \
+        if q.dtype == jnp.int8 else jax.lax.dot_general(
+            q.astype(jnp.bfloat16), db_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    m = dots - 0.5 * bsq_ref[0, :][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    m0, i0l, m1 = _tile_top2(m, col)
+    row = pl.program_id(0)
+    qsq = _query_sq(q)[:, 0]
+    d0_ref[row, :] = qsq - 2.0 * m0
+    i0_ref[row, :] = i0l
+    d1_ref[row, :] = qsq - 2.0 * m1
+
+
 def _two_nn_kernel_resident(q_ref, db_ref, bsq_ref, d0_ref, i0_ref, d1_ref):
     """Whole-db-in-VMEM variant: grid over query tiles, fori over BD
     blocks of the resident table — no block DMA turnover between steps
@@ -175,7 +206,12 @@ def two_nn_pallas(query: jnp.ndarray, db: jnp.ndarray, db_count: jnp.ndarray,
             jnp.arange(nd, dtype=jnp.int32)
             < jnp.asarray(db_count, jnp.int32),
             b_sq, jnp.float32(_BIG)).reshape(1, nd)
-        if resident:
+        if resident and nd <= _ONEBLOCK_MAX_ND and nq % TQ_OB == 0:
+            d0, i0, d1 = _call_resident(query, db, b_sq, (nq // TQ_OB,),
+                                        db.shape, nq, interpret,
+                                        kernel=_two_nn_kernel_oneblock,
+                                        tq=TQ_OB)
+        elif resident:
             d0, i0, d1 = _call_resident(query, db, b_sq, (nq // TQ,),
                                         db.shape, nq, interpret)
         else:
@@ -184,12 +220,13 @@ def two_nn_pallas(query: jnp.ndarray, db: jnp.ndarray, db_count: jnp.ndarray,
     return d0.reshape(nq), i0.reshape(nq), d1.reshape(nq)
 
 
-def _call_resident(query, db, b_sq, grid, db_shape, nq, interpret):
+def _call_resident(query, db, b_sq, grid, db_shape, nq, interpret,
+                   kernel=_two_nn_kernel_resident, tq=TQ):
     return pl.pallas_call(
-        _two_nn_kernel_resident,
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TQ, 128), lambda i: (i, 0),
+            pl.BlockSpec((tq, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(db_shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -197,17 +234,17 @@ def _call_resident(query, db, b_sq, grid, db_shape, nq, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((nq // TQ, TQ), lambda i: (0, 0),
+            pl.BlockSpec((nq // tq, tq), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq // TQ, TQ), lambda i: (0, 0),
+            pl.BlockSpec((nq // tq, tq), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq // TQ, TQ), lambda i: (0, 0),
+            pl.BlockSpec((nq // tq, tq), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nq // TQ, TQ), jnp.float32),
-            jax.ShapeDtypeStruct((nq // TQ, TQ), jnp.int32),
-            jax.ShapeDtypeStruct((nq // TQ, TQ), jnp.float32),
+            jax.ShapeDtypeStruct((nq // tq, tq), jnp.float32),
+            jax.ShapeDtypeStruct((nq // tq, tq), jnp.int32),
+            jax.ShapeDtypeStruct((nq // tq, tq), jnp.float32),
         ),
         interpret=interpret,
     )(query, db, b_sq)
