@@ -126,6 +126,7 @@ def main():
     import tempfile
     workdir = args.workdir or tempfile.mkdtemp(
         prefix=f"e2e_px{len(images)}_")
+    os.makedirs(workdir, exist_ok=True)
     # Image files are needed by the reference's list.txt references.
     import shutil
     for name in images:
