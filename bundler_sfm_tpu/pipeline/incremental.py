@@ -1099,12 +1099,15 @@ def add_all_new_points(recon: Reconstruction, scene: Scene) -> int:
     norms = np.linalg.norm(rays, axis=2, keepdims=True)
     norms[norms == 0] = 1.0
     rn = rays / norms
-    dots = np.einsum("tmi,tni->tmn", rn, rn)
+    # Monotone dot-space test (max pairwise angle >= thr ⟺ min pairwise
+    # dot <= cos(thr)) — no arccos/degrees pass over the [T, M, M] table
+    # (same rework as remove_bad_points; host time, every round).
+    dots = np.einsum("tmi,tni->tmn", rn.astype(np.float32),
+                     rn.astype(np.float32))
     pair_mask = mask[:, :, None] & mask[:, None, :]
-    angles = np.degrees(np.arccos(np.clip(dots, -1 + 1e-8, 1 - 1e-8)))
-    angles = np.where(pair_mask, angles, 0.0)
-    max_angle = angles.max(axis=(1, 2))
-    conditioned = max_angle >= cfg.ray_angle_threshold
+    min_dot = np.where(pair_mask, dots, 2.0).min(axis=(1, 2))
+    cos_thr = max(np.cos(np.radians(cfg.ray_angle_threshold)), -1 + 1e-8)
+    conditioned = min_dot <= cos_thr
 
     if not cfg.panorama_mode:
         # Triangulate all candidates at once.
@@ -1211,7 +1214,12 @@ def remove_bad_points(recon: Reconstruction, scene: Scene) -> int:
     vmask[li, vi] = valid_f
     # Chunk the [chunk, M, M] pairwise tables to bound memory (M can reach
     # the camera count for long tracks).
-    max_angle = np.zeros(len(live))
+    # Max pairwise angle is monotone in the MIN pairwise dot of unit rays:
+    # max_angle < thr  ⟺  min_dot > cos(thr).  Comparing dots directly
+    # deletes the arccos/degrees transcendental pass over the [L, M, M]
+    # table (~1 s/round of host time at 30k points in the round-4 profile).
+    min_dot = np.full(len(live), 2.0, np.float32)
+    rays = rays.astype(np.float32)
     iu = np.triu_indices(M, 1)
     step = max(1, int(4e7 // max(M * M, 1)))
     for s in range(0, len(live), step):
@@ -1219,11 +1227,15 @@ def remove_bad_points(recon: Reconstruction, scene: Scene) -> int:
         vm = vmask[s:s + step]
         dots = np.einsum("lmi,lni->lmn", r, r)
         pair_ok = vm[:, :, None] & vm[:, None, :]
-        ang = np.degrees(np.arccos(np.clip(dots, -1 + 1e-8, 1 - 1e-8)))
-        ang = np.where(pair_ok, ang, 0.0)
         if M > 1:
-            max_angle[s:s + step] = ang[:, iu[0], iu[1]].max(axis=1)
-    bad = live[max_angle < 0.5 * cfg.ray_angle_threshold]
+            d = np.where(pair_ok, dots, 2.0)[:, iu[0], iu[1]]
+            min_dot[s:s + step] = d.min(axis=1)
+    # clip(-1+1e-8, 1-1e-8) parity with the old arccos path: a dot of
+    # exactly 1.0 still counted as angle > 0 there only via the clip;
+    # cos() of the threshold reproduces the same boundary behavior.
+    cos_thr = np.cos(np.radians(0.5 * cfg.ray_angle_threshold))
+    cos_thr = min(cos_thr, 1.0 - 1e-8)
+    bad = live[min_dot > cos_thr]
     for p in bad:
         for (slot, key) in recon.pt_views[p]:
             recon.key_extra[recon.added_order[slot]][key] = -1
