@@ -442,6 +442,21 @@ class DescriptorTable:
                     jnp.int32)
                 results.append((chunk[:n_real], m, cnt))
         # Fetch after all batches are enqueued (overlaps device + transfer).
+        # Multi-chunk runs are concatenated ON DEVICE and fetched as one
+        # array: every separate device->host array pays ~10-25 ms of link
+        # overhead on top of its bytes (probe_fetch.py), which added ~0.5 s
+        # to the 32-chunk 256-image matching leg.
+        if len(results) > 1:
+            big = np.asarray(jnp.concatenate([m for _, m, _ in results]))
+            offs_m = np.cumsum([0] + [m.shape[0] for _, m, _ in results])
+            cnts = [c for _, _, c in results]
+            big_cnt = (np.asarray(jnp.concatenate(cnts))
+                       if cnts[0] is not None else None)
+            results = [(chunk,
+                        big[offs_m[k]:offs_m[k + 1]],
+                        None if big_cnt is None
+                        else big_cnt[offs_m[k]:offs_m[k + 1]])
+                       for k, (chunk, _, _) in enumerate(results)]
         for chunk, m, cnt in results:
             m = np.asarray(m)
             if cnt is None:
