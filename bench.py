@@ -99,11 +99,16 @@ def bench_tpu_kernel(table, pairs, reps: int = 8):
     import jax.numpy as jnp
     from bundler_sfm_tpu.ops.matching import _match_pairs_from_table_masked
 
+    # One dispatch per rep: the fused kernel never materializes [B, K, K]
+    # tiles, so the full pair list fits one program (probe ran 2208 pairs/
+    # dispatch); chunking at TPU_BATCH added 16 dispatch RTTs ~0.4 s here.
+    KB = len(pairs)
+
     def run(orders):
         outs = []
         for r, ps in enumerate(orders):
-            for s in range(0, len(ps), TPU_BATCH):
-                chunk = ps[s:s + TPU_BATCH]
+            for s in range(0, len(ps), KB):
+                chunk = ps[s:s + KB]
                 pi = jnp.asarray(np.array([i for i, _ in chunk], np.int32))
                 pj = jnp.asarray(np.array([j for _, j in chunk], np.int32))
                 outs.append(_match_pairs_from_table_masked(
