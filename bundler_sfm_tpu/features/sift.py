@@ -520,6 +520,15 @@ def _extract_sift_group(images, idxs, n_real, out, max_keys_total,
             scale *= 2.0
             octave += 1
 
+        if not dev:
+            # Image too small for even one octave (min dim < 2*PATCH after
+            # the optional upsample): no keypoints, like extract_sift's
+            # `if infos else` guard on the per-image path.
+            for i in idxs[:n_real]:
+                out[i] = (np.zeros((0, 4), np.float32),
+                          np.zeros((0, 128), np.uint8))
+            return
+
         info_all = np.asarray(jnp.concatenate([d[0] for d in dev], axis=1))
         desc_all = np.asarray(jnp.concatenate([d[1] for d in dev], axis=1))
         counts_all = np.asarray(jnp.stack([d[2] for d in dev]))  # [noct, B]

@@ -206,7 +206,19 @@ def two_nn_pallas(query: jnp.ndarray, db: jnp.ndarray, db_count: jnp.ndarray,
             jnp.arange(nd, dtype=jnp.int32)
             < jnp.asarray(db_count, jnp.int32),
             b_sq, jnp.float32(_BIG)).reshape(1, nd)
-        if resident and nd <= _ONEBLOCK_MAX_ND and nq % TQ_OB == 0:
+        # Oneblock eligibility is a total-VMEM-footprint gate, not just a
+        # db-bytes gate: an f32 db at the resident cap (8 MB) plus the
+        # single [TQ_OB, Nd] f32 score tile (8 MB at Nd=16384) plus b_sq,
+        # the query tile and the three resident outputs can exceed 16 MB
+        # parts — a shape the fori-resident kernel (score tiles ~0.5 MB)
+        # compiles fine.
+        ob_bytes = (nd * 128 * jnp.dtype(db.dtype).itemsize  # db
+                    + 4 * TQ_OB * nd                         # score tile
+                    + 4 * nd                                 # b_sq
+                    + TQ_OB * 128 * jnp.dtype(db.dtype).itemsize
+                    + 3 * 4 * nq)                            # outputs
+        if (resident and nd <= _ONEBLOCK_MAX_ND and nq % TQ_OB == 0
+                and ob_bytes <= 12 * 1024 * 1024):
             d0, i0, d1 = _call_resident(query, db, b_sq, (nq // TQ_OB,),
                                         db.shape, nq, interpret,
                                         kernel=_two_nn_kernel_oneblock,
