@@ -180,11 +180,80 @@ def _bench_ba_shape(ge, num_cams, num_pts, max_iters=30):
     return iters * len(oc) / dt, dt / iters, mfu
 
 
+def _bench_ba_sparse(ge, num_cams=64, num_pts=16384, max_iters=30,
+                     seed=7):
+    """Realistic-sparsity BA leg: mixed track lengths (60% 2-4 views, 25%
+    5-8, 15% 9-24 — the from-pixels density, mean ~5.5) instead of the
+    fully-dense shapes of the other legs.  The single-M slot layout runs at
+    ~20% occupancy here (the regime round 4's bench structurally could not
+    see); the view-bucketed layout is what the production pipeline
+    dispatches.  Reports BOTH rates over REAL observations so a regression
+    in padded-slot handling shows in the per-round JSON."""
+    import jax.numpy as jnp
+    from bundler_sfm_tpu.ops.ba import (
+        build_problem, plan_view_buckets, run_ba,
+    )
+    rng = np.random.default_rng(seed)
+    R0, cam0, pts0, oc, op, oxy = ge._synthetic_problem(num_cams=num_cams,
+                                                        num_pts=num_pts)
+    # Subsample views per point to the mixture (dense arrays are
+    # point-major [C*P] with op = tile(arange(P), C)).
+    u = rng.random(num_pts)
+    nv = np.where(u < 0.6, rng.integers(2, 5, num_pts),
+                  np.where(u < 0.85, rng.integers(5, 9, num_pts),
+                           rng.integers(9, 25, num_pts)))
+    rank = np.argsort(rng.random((num_cams, num_pts)), axis=0)
+    keep = (rank < nv[None, :]).reshape(-1)
+    oc, op, oxy = oc[keep], op[keep], oxy[keep]
+    order = np.argsort(op, kind="stable")
+    oc, op, oxy = oc[order], op[order], oxy[order]
+    O = len(oc)
+
+    def run_one(view_buckets, row_of, n_rows):
+        if view_buckets is None:
+            prob = build_problem(R0, cam0, pts0, oc, op, oxy,
+                                 est_focal=True, est_distortion=True,
+                                 dtype=np.float32)
+            prob2 = build_problem(R0, cam0 + 1e-6, pts0, oc, op, oxy,
+                                  est_focal=True, est_distortion=True,
+                                  dtype=np.float32)
+        else:
+            pts_r = np.zeros((n_rows, 3))
+            pts_r[row_of] = pts0
+            op2 = row_of[op].astype(np.int32)
+            prob = build_problem(R0, cam0, pts_r, oc, op2, oxy,
+                                 est_focal=True, est_distortion=True,
+                                 view_buckets=view_buckets,
+                                 dtype=np.float32)
+            prob2 = build_problem(R0, cam0 + 1e-6, pts_r, oc, op2, oxy,
+                                  est_focal=True, est_distortion=True,
+                                  view_buckets=view_buckets,
+                                  dtype=np.float32)
+        res = run_ba(prob, max_iters=max_iters)          # compile
+        float(np.asarray(res.cost))
+        t0 = time.perf_counter()
+        res = run_ba(prob2, max_iters=max_iters)
+        float(np.asarray(res.cost))
+        dt = time.perf_counter() - t0
+        iters = max(int(res.iters), 1)
+        slots = prob.obs_cam.shape[0]
+        return iters * O / dt, O / slots
+
+    plan = plan_view_buckets(op, num_pts)
+    single_rate, single_occ = run_one(None, None, None)
+    if plan is None:
+        return single_rate, single_occ, None, None
+    row_of, buckets, n_rows = plan
+    bucket_rate, bucket_occ = run_one(buckets, row_of, n_rows)
+    return single_rate, single_occ, bucket_rate, bucket_occ
+
+
 def bench_ba():
-    """BA throughput at TWO shapes: 8 cams / 16k obs (a small incremental
-    round, latency regime) and 64 cams / 512k obs (the production regime the
-    windowed-Schur work targets — regressions there must be visible in the
-    per-round JSON, not masked by a toy shape)."""
+    """BA throughput at THREE shapes: 8 cams / 16k obs (a small incremental
+    round, latency regime), 64 cams / 512k obs (the production regime the
+    windowed-Schur work targets), and the realistic-sparsity leg (mixed
+    track lengths at ~20% single-layout occupancy — the regime where the
+    view-bucketed layout earns its keep)."""
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "ge", os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -193,7 +262,8 @@ def bench_ba():
     spec.loader.exec_module(ge)
     small = _bench_ba_shape(ge, 8, 2048)
     big = _bench_ba_shape(ge, 64, 8192)
-    return small, big
+    sparse = _bench_ba_sparse(ge)
+    return small, big, sparse
 
 
 def main():
@@ -211,11 +281,12 @@ def main():
     except Exception:
         kern_rate, kern_flops, kern_mfu = None, None, None
     try:
-        (ba_rate, ba_iter_s, ba_mfu), (ba_rate64, ba_iter_s64, ba_mfu64) \
-            = bench_ba()
+        ((ba_rate, ba_iter_s, ba_mfu), (ba_rate64, ba_iter_s64, ba_mfu64),
+         (bas_single, bas_socc, bas_bucket, bas_bocc)) = bench_ba()
     except Exception:
         ba_rate, ba_iter_s, ba_mfu = None, None, None
         ba_rate64, ba_iter_s64, ba_mfu64 = None, None, None
+        bas_single = bas_socc = bas_bucket = bas_bocc = None
 
     try:
         cpu_rate, cpu_matches, cpu_dt = bench_cpu_kdtree(descs,
@@ -271,6 +342,15 @@ def main():
             "ba64_seconds_per_lm_iter": round(ba_iter_s64, 5) if ba_iter_s64
             else None,
             "ba64_mfu": round(ba_mfu64, 4) if ba_mfu64 else None,
+            # Realistic-sparsity leg (mixed track lengths, real-obs rates).
+            "ba_sparse_bucketed_obs_iters_per_s":
+                round(bas_bucket) if bas_bucket else None,
+            "ba_sparse_single_obs_iters_per_s":
+                round(bas_single) if bas_single else None,
+            "ba_sparse_bucketed_occupancy":
+                round(bas_bocc, 3) if bas_bocc else None,
+            "ba_sparse_single_occupancy":
+                round(bas_socc, 3) if bas_socc else None,
         },
     }
     print(json.dumps(result))

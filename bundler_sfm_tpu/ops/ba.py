@@ -34,6 +34,7 @@ are psum-reduced across shards — see parallel/ba_sharded.py.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 from typing import NamedTuple, Optional, Tuple
@@ -86,13 +87,36 @@ def _robust_curvature(s, loss: str, b):
     return jnp.where(s <= b, 0.0, -0.5 * jnp.sqrt(b) * s_safe ** -1.5)
 
 
-class BAProblem(NamedTuple):
+_BA_DATA_FIELDS = (
+    "R0", "cam0", "cam_mask", "cam_constrained", "cam_constraints",
+    "cam_weights", "pts0", "pt_constrained", "pt_constraints", "pt_weight",
+    "obs_cam", "obs_pt", "obs_xy", "obs_valid", "views_obs", "views_mask",
+    "cam_scale", "schur_win")
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=list(_BA_DATA_FIELDS),
+                   meta_fields=["buckets"])
+@dataclasses.dataclass(frozen=True)
+class BAProblem:
     """Padded, static-shape bundle-adjustment problem.
 
     OBSERVATION ARRAYS ARE IN SLOT LAYOUT, NOT INPUT ORDER: build_problem
     stores the observation of point p's k-th view at flat row p*M + k
     (O = Pp*M total rows, padding rows invalid).  Use ba.slot_ids() to map
-    between a caller's flat observation order and these rows."""
+    between a caller's flat observation order and these rows.
+
+    VIEW-BUCKETED LAYOUT (`buckets` set): points are laid out in
+    view-count buckets — bucket b covers the next P_b point rows, each
+    with its OWN slot width M_b, and its observation rows are the next
+    P_b*M_b flat rows.  O = Σ_b P_b*M_b, views_obs/views_mask are FLAT
+    [O] (not [P,M]).  This removes the slot-padding tax of a single
+    M = max-track-length at realistic mixed track densities (the regime
+    where SBA's CRS stores exactly the real observations,
+    lib/sba-1.5/sba_levmar.c:1191-1324).  `buckets` is static pytree
+    metadata, so jit/shard_map specialize on the layout automatically.
+    Use ba.slot_ids_bucketed() to map a caller's flat observation order
+    to these rows."""
     R0: jnp.ndarray               # [C,3,3] base rotations
     cam0: jnp.ndarray             # [C,9] initial params (c, w=0, f, k1, k2)
     cam_mask: jnp.ndarray         # [C,9] 1.0 = free, 0.0 = frozen
@@ -103,16 +127,41 @@ class BAProblem(NamedTuple):
     pt_constrained: jnp.ndarray   # [P] 1.0 where constrained
     pt_constraints: jnp.ndarray   # [P,3]
     pt_weight: jnp.ndarray        # scalar point-constraint weight
-    obs_cam: jnp.ndarray          # [O=Pp·M] int32, SLOT layout (pad -> cam 0)
-    obs_pt: jnp.ndarray           # [O=Pp·M] int32 = row // M by construction
-    obs_xy: jnp.ndarray           # [O=Pp·M,2] SLOT layout
-    obs_valid: jnp.ndarray        # [O=Pp·M] bool (False on padding slots)
-    views_obs: jnp.ndarray        # [P,M] int32 obs index per point view (pad 0)
-    views_mask: jnp.ndarray       # [P,M] bool
+    obs_cam: jnp.ndarray          # [O] int32, SLOT layout (pad -> cam 0)
+    obs_pt: jnp.ndarray           # [O] int32 point row of each slot
+    obs_xy: jnp.ndarray           # [O,2] SLOT layout
+    obs_valid: jnp.ndarray        # [O] bool (False on padding slots)
+    views_obs: jnp.ndarray        # [P,M] int32 obs index per point view
+    # (pad 0); FLAT [O] when buckets is set
+    views_mask: jnp.ndarray       # [P,M] bool; FLAT [O] when buckets is set
     cam_scale: jnp.ndarray        # [9] per-param scale s (LM solves q = s∘x)
     schur_win: Optional[jnp.ndarray] = None  # [nwin] int32 window starts for
     # the covisibility-windowed Schur assembly (None = full-C assembly);
     # group g = points [g*group_pts, (g+1)*group_pts), see assemble_schur_off
+    buckets: Optional[Tuple[Tuple[int, int], ...]] = None  # STATIC
+    # ((P_b, M_b), ...) view-count bucket layout; None = single [Pp, M]
+
+    # NamedTuple-compat surface (callers construct/replace by field name).
+    _fields = _BA_DATA_FIELDS
+
+    def _replace(self, **kw) -> "BAProblem":
+        return dataclasses.replace(self, **kw)
+
+
+def _sections(prob: BAProblem):
+    """The slot layout as a list of (pt_lo, row_lo, P_b, M_b) sections —
+    one per view bucket, or a single section for the classic [Pp, M]
+    layout."""
+    if prob.buckets is None:
+        Pp, M = prob.views_mask.shape
+        return [(0, 0, Pp, M)]
+    out = []
+    pt = row = 0
+    for (Pb, Mb) in prob.buckets:
+        out.append((pt, row, Pb, Mb))
+        pt += Pb
+        row += Pb * Mb
+    return out
 
 
 class BAResult(NamedTuple):
@@ -153,6 +202,125 @@ def slot_ids(obs_pt: np.ndarray, max_views: int) -> np.ndarray:
     return obs_pt * max_views + _slot_within(obs_pt)
 
 
+def slot_ids_bucketed(obs_pt: np.ndarray,
+                      buckets: Tuple[Tuple[int, int], ...]) -> np.ndarray:
+    """Flat slot-layout row of each observation under a view-bucket layout
+    (point rows bucket-ordered, bucket b = next P_b rows at width M_b):
+    row_lo[b] + (p − pt_lo[b])·M_b + within-point index."""
+    obs_pt = np.asarray(obs_pt, dtype=np.int64)
+    pt_lo = np.cumsum([0] + [Pb for Pb, _ in buckets])
+    row_lo = np.cumsum([0] + [Pb * Mb for Pb, Mb in buckets])
+    widths = np.array([Mb for _, Mb in buckets], np.int64)
+    b = np.searchsorted(pt_lo[1:], obs_pt, side="right")
+    return (row_lo[b] + (obs_pt - pt_lo[b]) * widths[b]
+            + _slot_within(obs_pt))
+
+
+def _quant_rows(n: int, lo: int = 256) -> int:
+    """Quantize a bucket's point-row count to the 1.5-step grid
+    {lo·2^k} ∪ {1.5·lo·2^k}: ≤33% padding, ~2 shapes per octave — the
+    compromise between padded-slot waste and per-shape compile/load cost
+    through the remote backend (power-of-2 wastes up to 2×; linear steps
+    recompile too often across registration rounds)."""
+    g = lo
+    while True:
+        if n <= g:
+            return g
+        if n <= (3 * g) // 2:
+            return (3 * g) // 2
+        g *= 2
+
+
+def plan_view_buckets(obs_pt, num_points: int,
+                      max_buckets: int = 4,
+                      min_total_obs: int = 1 << 15,
+                      win_factor: float = 1.3):
+    """Host-side plan for the view-count-bucketed slot layout.
+
+    The single-M slot layout pads every point to the longest track
+    (`M = max views`), so at realistic mixed track densities (mean ~5-6
+    views, max 20-30) only ~20% of slots are real and the whole LM
+    iteration pays 5× padded work — the regime where the reference's CRS
+    stores exactly the real observations (sba_levmar.c:1191-1324).
+    Partition points into ≤ `max_buckets` view-count buckets with widths
+    from {4, 8, 16, ...}: within a bucket occupancy is ≥ 50%, and all the
+    slot layout's reshape/broadcast properties hold per bucket — still no
+    gathers or scatters anywhere in the iteration.
+
+    Returns (row_of [num_points] int32 — the bucket-ordered point row of
+    each input point — , buckets ((P_b, M_b), ...) with P_b quantized,
+    n_rows = Σ P_b) or None when not worth it (small problems, or the
+    single layout is within `win_factor` of the bucketed slot count)."""
+    obs_pt = np.asarray(obs_pt)
+    O = len(obs_pt)
+    if O < min_total_obs or num_points == 0:
+        return None
+    counts = np.bincount(obs_pt, minlength=num_points)
+    Mmax = int(counts.max())
+    if Mmax <= 4:
+        return None
+    widths = [4]
+    while widths[-1] < Mmax:
+        widths.append(widths[-1] * 2)
+    Mtop = widths[-1]
+    # Points per width bin (width w holds counts in (prev_w, w]).
+    nbin = [int(np.sum((counts > (0 if i == 0 else widths[i - 1]))
+                       & (counts <= w))) for i, w in enumerate(widths)]
+
+    def cost(subset):
+        # subset: ascending widths ending at Mtop; cost = padded slots.
+        total = 0
+        lo_i = 0
+        for w in subset:
+            hi_i = widths.index(w) + 1
+            n = sum(nbin[lo_i:hi_i])
+            lo_i = hi_i
+            if n:
+                total += _quant_rows(n) * w
+        return total
+
+    import itertools
+    best, best_sub = None, None
+    inner = widths[:-1]
+    for r in range(0, min(max_buckets, len(widths))):
+        for combo in itertools.combinations(inner, r):
+            sub = list(combo) + [Mtop]
+            c = cost(sub)
+            if best is None or c < best:
+                best, best_sub = c, sub
+    # The single-layout shapes the caller would otherwise build
+    # (pad_pts bucketed at 256, M at the power-of-2 bucket).
+    single = _quant_rows(num_points) * Mtop
+    if single <= win_factor * best:
+        return None
+
+    # Materialize the winning buckets (drop empty bins).
+    bucket_of = np.zeros(num_points, np.int64)
+    buckets = []
+    lo_i = 0
+    for w in best_sub:
+        hi_i = widths.index(w) + 1
+        sel = ((counts > (0 if lo_i == 0 else widths[lo_i - 1]))
+               & (counts <= w))
+        lo_i = hi_i
+        n = int(sel.sum())
+        if n == 0:
+            continue
+        bucket_of[sel] = len(buckets)
+        buckets.append((_quant_rows(n), int(w)))
+    # Stable order by bucket: row_of[p] = bucket-ordered padded row.
+    order = np.argsort(bucket_of, kind="stable")
+    pt_lo = np.cumsum([0] + [b[0] for b in buckets])
+    row_of = np.empty(num_points, np.int64)
+    # Within bucket k, points keep input order at rows pt_lo[k]...
+    sizes = np.bincount(bucket_of, minlength=len(buckets))
+    off = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    within = np.arange(num_points) - off[bucket_of[order]]
+    row_of[order] = pt_lo[bucket_of[order]] + within
+    n_rows = int(pt_lo[-1])
+    return row_of.astype(np.int32), tuple(buckets), n_rows
+
+
 def build_problem(
     R0: np.ndarray, cam0: np.ndarray,
     pts0: np.ndarray,
@@ -173,6 +341,7 @@ def build_problem(
     max_views: Optional[int] = None,
     param_scale: Optional[np.ndarray] = None,  # [9]; default f/k scaling
     schur_win: Optional[np.ndarray] = None,    # [nwin] window starts
+    view_buckets: Optional[Tuple[Tuple[int, int], ...]] = None,
     dtype=np.float64,
 ) -> BAProblem:
     """Pad + mask a host-side problem into a static-shape BAProblem.
@@ -190,7 +359,14 @@ def build_problem(
             stacklevel=2)
     C, P, O = len(cam0), len(pts0), len(obs_cam)
     Cp = pad_cams or C
-    Pp = pad_pts or P
+    if view_buckets is not None:
+        if schur_win is not None:
+            raise ValueError("view_buckets and schur_win are exclusive "
+                             "(bucketing reorders points by view count, "
+                             "windowing by camera span)")
+        Pp = sum(Pb for Pb, _ in view_buckets)
+    else:
+        Pp = pad_pts or P
     assert Cp >= C and Pp >= P
 
     def padc(x, n, shape_tail=()):
@@ -235,21 +411,45 @@ def build_problem(
     # removals; views_mask keeps the static real-slot set).
     obs_pt = np.asarray(obs_pt, dtype=np.int64)
     counts = np.bincount(obs_pt, minlength=Pp) if O else np.zeros(Pp, int)
-    M = max_views or max(1, int(counts.max()) if O else 1)
-    if O and counts.max() > M:
-        raise ValueError(f"point has {counts.max()} views > max_views={M}")
-    sid = obs_pt * M + _slot_within(obs_pt) if O else \
-        np.zeros(0, dtype=np.int64)
-    Op = Pp * M
+    if view_buckets is not None:
+        # Bucket-ordered layout: validate each point's view count against
+        # its bucket's width.
+        pt_lo = np.cumsum([0] + [Pb for Pb, _ in view_buckets])
+        for k, (Pb, Mb) in enumerate(view_buckets):
+            cmax = counts[pt_lo[k]:pt_lo[k + 1]].max() \
+                if pt_lo[k] < min(len(counts), pt_lo[k + 1]) else 0
+            if cmax > Mb:
+                raise ValueError(
+                    f"bucket {k}: point has {cmax} views > width {Mb}")
+        sid = slot_ids_bucketed(obs_pt, view_buckets) if O else \
+            np.zeros(0, dtype=np.int64)
+        Op = sum(Pb * Mb for Pb, Mb in view_buckets)
+        opt = np.concatenate([
+            np.repeat(np.arange(pt_lo[k], pt_lo[k + 1], dtype=np.int32),
+                      Mb)
+            for k, (Pb, Mb) in enumerate(view_buckets)]) if Op else \
+            np.zeros(0, np.int32)
+    else:
+        M = max_views or max(1, int(counts.max()) if O else 1)
+        if O and counts.max() > M:
+            raise ValueError(
+                f"point has {counts.max()} views > max_views={M}")
+        sid = obs_pt * M + _slot_within(obs_pt) if O else \
+            np.zeros(0, dtype=np.int64)
+        Op = Pp * M
+        opt = np.repeat(np.arange(Pp, dtype=np.int32), M)
     ocam = np.zeros(Op, dtype=np.int32)
     ocam[sid] = obs_cam
-    opt = np.repeat(np.arange(Pp, dtype=np.int32), M)
     oxy = np.zeros((Op, 2), dtype=dtype)
     oxy[sid] = obs_xy
     ovalid = np.zeros(Op, dtype=bool)
     ovalid[sid] = True
-    views_obs = np.arange(Op, dtype=np.int32).reshape(Pp, M)
-    views_mask = ovalid.reshape(Pp, M).copy()
+    if view_buckets is not None:
+        views_obs = np.arange(Op, dtype=np.int32)
+        views_mask = ovalid.copy()
+    else:
+        views_obs = np.arange(Op, dtype=np.int32).reshape(Pp, M)
+        views_mask = ovalid.reshape(Pp, M).copy()
 
     return BAProblem(
         R0=jnp.asarray(R0p), cam0=jnp.asarray(cam0p),
@@ -267,6 +467,7 @@ def build_problem(
             if param_scale is None else param_scale, dtype=dtype),
         schur_win=(jnp.asarray(schur_win, jnp.int32)
                    if schur_win is not None else None),
+        buckets=view_buckets,
     )
 
 
@@ -472,22 +673,43 @@ def _segsum_cams(data, prob: BAProblem, num_cams: int,
 
 def _point_sum(data, prob: BAProblem):
     """Per-point sum of per-observation data — in the slot layout this is a
-    free reshape + masked reduce over the M view slots (no gather, no
-    scatter)."""
-    Pp, M = prob.views_mask.shape
-    g = data.reshape((Pp, M) + data.shape[1:])
-    mask = prob.views_mask
-    mask = mask.reshape(mask.shape + (1,) * (g.ndim - 2))
-    return jnp.sum(g * mask, axis=1)
+    free reshape + masked reduce over the view slots (no gather, no
+    scatter); per bucket when the view-bucketed layout is active."""
+    vm = prob.views_mask.reshape(-1)
+    parts = []
+    tail = data.shape[1:]
+    for (pt_lo, row_lo, Pb, Mb) in _sections(prob):
+        g = jax.lax.slice_in_dim(data, row_lo, row_lo + Pb * Mb) \
+            .reshape((Pb, Mb) + tail)
+        m = jax.lax.slice_in_dim(vm, row_lo, row_lo + Pb * Mb) \
+            .reshape((Pb, Mb) + (1,) * len(tail))
+        parts.append(jnp.sum(g * m, axis=1))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _point_any(flags, prob: BAProblem):
+    """Per-point ANY of per-observation bool flags (slot layout; per
+    bucket when the view-bucketed layout is active)."""
+    parts = []
+    for (pt_lo, row_lo, Pb, Mb) in _sections(prob):
+        g = jax.lax.slice_in_dim(flags, row_lo, row_lo + Pb * Mb) \
+            .reshape(Pb, Mb)
+        parts.append(jnp.any(g, axis=1))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _pt_expand(x, prob: BAProblem):
-    """Per-point table [P, ...] -> per-observation rows [P·M, ...]: the
+    """Per-point table [P, ...] -> per-observation rows [O, ...]: the
     slot-layout replacement for the x[obs_pt] gather — a broadcast along
-    the view-slot axis, pure streaming writes."""
-    Pp, M = prob.views_mask.shape
-    return jnp.broadcast_to(
-        x[:, None], (Pp, M) + x.shape[1:]).reshape((Pp * M,) + x.shape[1:])
+    the view-slot axis, pure streaming writes; per bucket when the
+    view-bucketed layout is active."""
+    tail = x.shape[1:]
+    parts = []
+    for (pt_lo, row_lo, Pb, Mb) in _sections(prob):
+        xs = jax.lax.slice_in_dim(x, pt_lo, pt_lo + Pb)
+        parts.append(jnp.broadcast_to(
+            xs[:, None], (Pb, Mb) + tail).reshape((Pb * Mb,) + tail))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _inv3(V):
@@ -902,7 +1124,6 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int,
     path: every camera pair a point couples lies inside its window.
     """
     C = num_cameras
-    P, M = prob.views_obs.shape
     dtype = Y.dtype
 
     windowed = window > 0 and group_pts > 0 and window < C \
@@ -914,6 +1135,25 @@ def assemble_schur_off(Y, W, g_p, prob: BAProblem, num_cameras: int,
         rhs_off = -_segsum_windowed(contrib, prob, C, window, group_pts)
     else:
         rhs_off = -_segsum_onehot(contrib, prob.obs_cam, C)
+
+    if prob.buckets is not None:
+        # View-bucketed layout: the factorized per-point dense-table
+        # assembly runs per bucket (each bucket is its own [P_b, M_b]
+        # slot table); the [C,9,C,9] contributions add.
+        vm = prob.views_mask
+        S = None
+        for (pt_lo, row_lo, Pb, Mb) in _sections(prob):
+            sl = lambda a: jax.lax.slice_in_dim(a, row_lo,
+                                                row_lo + Pb * Mb)
+            Sb = _schur_dense_full(
+                sl(Y).reshape(Pb, Mb, CNP, PNP),
+                sl(W).reshape(Pb, Mb, CNP, PNP),
+                sl(prob.obs_cam).reshape(Pb, Mb),
+                sl(vm).reshape(Pb, Mb), C, dtype)
+            S = Sb if S is None else S + Sb
+        return S.transpose(0, 2, 1, 3), rhs_off
+
+    P, M = prob.views_obs.shape
     if windowed or P * C <= _PC_TABLE_BUDGET:
         cam_of_slot = prob.obs_cam.reshape(P, M)        # [P,M]
         Yp = Y.reshape(P, M, CNP, PNP)                  # [P,M,9,3]
@@ -1481,17 +1721,23 @@ def build_cam_obs_table(obs_cam: np.ndarray, obs_pt: np.ndarray,
                         num_cams: int,
                         pad_slots: Optional[int] = None,
                         max_views: Optional[int] = None,
+                        view_buckets: Optional[
+                            Tuple[Tuple[int, int], ...]] = None,
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side static inversion of obs_cam: [C, S] SLOT-LAYOUT observation
     rows per camera + mask (ids match build_problem's p·M+k layout — pass
     the same `max_views`, or leave None to use the per-point max like
-    build_problem does).  Feeds the per-camera reprojection statistics
+    build_problem does; pass the same `view_buckets` for the bucketed
+    layout).  Feeds the per-camera reprojection statistics
     (`src/Bundle.cpp:659-850`) on device."""
     obs_cam = np.asarray(obs_cam)
     obs_pt = np.asarray(obs_pt, dtype=np.int64)
-    pcounts = np.bincount(obs_pt) if len(obs_pt) else np.zeros(0, int)
-    M = max_views or max(1, int(pcounts.max()) if len(obs_pt) else 1)
-    sid = slot_ids(obs_pt, M)
+    if view_buckets is not None:
+        sid = slot_ids_bucketed(obs_pt, view_buckets)
+    else:
+        pcounts = np.bincount(obs_pt) if len(obs_pt) else np.zeros(0, int)
+        M = max_views or max(1, int(pcounts.max()) if len(obs_pt) else 1)
+        sid = slot_ids(obs_pt, M)
     counts = np.bincount(obs_cam, minlength=num_cams)
     S = pad_slots or max(1, int(counts.max()))
     if len(obs_cam) and counts.max() > S:
@@ -1556,9 +1802,8 @@ def _outlier_loop_core(
             cam1 = cam1.at[:, 3:6].set(0.0)
             d, thresh, stats, bins, edges = pass_stats(cam1, pts1, R1, ov)
             bad_obs = ov & (d > thresh[prob.obs_cam])
-            bad_pt = jnp.any(
-                prob.views_mask
-                & bad_obs.reshape(prob.views_mask.shape), axis=1)
+            bad_pt = _point_any(
+                prob.views_mask.reshape(-1) & bad_obs, prob)
             # Constrained points are kept (src/Bundle.cpp:798-803).
             bad_pt = bad_pt & ~((prob.pt_constrained > 0)
                                 & (prob.pt_weight > 0))
@@ -1574,9 +1819,8 @@ def _outlier_loop_core(
             return (cam1, pts1, R1, ov1, removed1, n_o, stats, bins, edges,
                     iters, avg1, cost, cost0)
 
-        n_live = _psum(jnp.sum(jnp.any(
-            prob.views_mask & ov.reshape(prob.views_mask.shape),
-            axis=1)), axis)
+        n_live = _psum(jnp.sum(_point_any(
+            prob.views_mask.reshape(-1) & ov, prob)), axis)
         ok = n_live >= min_points
         # Run the pass unconditionally and select: ok is False at most once
         # (the too-few-points exit), and value-selects keep branch types
@@ -1674,8 +1918,7 @@ def _pass_stats_jit(prob: BAProblem, cam_obs, cam_obs_mask, cam, pts, R,
         min_thresh, max_thresh, axis=None, window=window,
         group_pts=group_pts)
     bad_obs = ov & (d > thresh[prob.obs_cam])
-    bad_pt = jnp.any(prob.views_mask
-                     & bad_obs.reshape(prob.views_mask.shape), axis=1)
+    bad_pt = _point_any(prob.views_mask.reshape(-1) & bad_obs, prob)
     bad_pt = bad_pt & ~((prob.pt_constrained > 0) & (prob.pt_weight > 0))
     n_o = jnp.sum(bad_pt).astype(jnp.int32)
     if remove_outliers:
@@ -1684,8 +1927,8 @@ def _pass_stats_jit(prob: BAProblem, cam_obs, cam_obs_mask, cam, pts, R,
         ov1 = ov
     nvalid = jnp.sum(ov)
     avg = jnp.sum(jnp.where(ov, d, 0.0)) / jnp.maximum(nvalid, 1)
-    n_live = jnp.sum(jnp.any(prob.views_mask
-                             & ov1.reshape(prob.views_mask.shape), axis=1))
+    n_live = jnp.sum(_point_any(prob.views_mask.reshape(-1) & ov1,
+                                prob))
     return stats, bins, edges, ov1, bad_pt, n_o, avg, n_live
 
 
@@ -1722,8 +1965,8 @@ def run_ba_outlier_loop_chunked(
     too_few = False
     passes = 0
     while passes < max_passes:
-        n_live0 = int(jnp.sum(jnp.any(
-            prob.views_mask & ov.reshape(prob.views_mask.shape), axis=1)))
+        n_live0 = int(jnp.sum(_point_any(
+            prob.views_mask.reshape(-1) & ov, prob)))
         if n_live0 < min_points:
             too_few = True
             break

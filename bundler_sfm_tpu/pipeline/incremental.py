@@ -488,10 +488,25 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             # iteration — the 256+-camera cliff (VERDICT r2).  The planner
             # reorders points into camera-window groups; dummy padding
             # rows between groups have no observations.
-            from bundler_sfm_tpu.ops.ba import plan_schur_windows
+            from bundler_sfm_tpu.ops.ba import (
+                plan_schur_windows, plan_view_buckets,
+            )
             plan = plan_schur_windows(obs_cam, obs_pt, len(live), Cp, Mp)
+            vbuckets = None
             if plan is not None:
                 row_of, schur_win, win_w, win_g, n_rows = plan
+                get_telemetry().add("ba_schur_windowed", 1.0)
+            else:
+                schur_win, win_w, win_g, n_rows = None, 0, 0, len(live)
+                # View-count-bucketed slot layout at mixed track density
+                # (exclusive with the window plan — both reorder points).
+                vb = plan_view_buckets(obs_pt, len(live))
+                if vb is not None:
+                    row_of, vbuckets, n_rows = vb
+                    get_telemetry().add("ba_view_bucketed", 1.0)
+                else:
+                    row_of = None
+            if plan is not None or vbuckets is not None:
                 pts0_r = np.zeros((n_rows, 3))
                 pts0_r[row_of] = pts0
                 pts0 = pts0_r
@@ -500,20 +515,19 @@ def run_sfm(recon: Reconstruction, scene: Scene,
                     pc2 = np.zeros((n_rows, 3)); pc2[row_of] = pc_con
                     pc_arr, pc_con = pa, pc2
                 obs_pt = row_of[obs_pt].astype(np.int32)
-                get_telemetry().add("ba_schur_windowed", 1.0)
-            else:
-                schur_win, win_w, win_g, n_rows = None, 0, 0, len(live)
-            Pp = _bucket(n_rows, 256)
+            Pp = n_rows if vbuckets is not None else _bucket(n_rows, 256)
             prob = build_problem(
                 R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
                 est_focal=not cfg.fixed_focal_length,
                 est_distortion=cfg.estimate_distortion,
                 cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
                 pt_constrained=pc_arr, pt_constraints=pc_con, pt_weight=pw,
-                pad_cams=Cp, pad_pts=Pp, max_views=Mp,
-                schur_win=schur_win, dtype=_dt(cfg))
-            cam_obs, cam_obs_mask = build_cam_obs_table(obs_cam, obs_pt,
-                                                        Cp, Sp, Mp)
+                pad_cams=Cp,
+                pad_pts=None if vbuckets is not None else Pp,
+                max_views=None if vbuckets is not None else Mp,
+                schur_win=schur_win, view_buckets=vbuckets, dtype=_dt(cfg))
+            cam_obs, cam_obs_mask = build_cam_obs_table(
+                obs_cam, obs_pt, Cp, Sp, Mp, view_buckets=vbuckets)
             # Huge rounds run the host-driven chunked loop so no single
             # device execution exceeds the backend's per-execution limit
             # (ops/ba.py _FUSED_WORK_BUDGET; the fused one-dispatch loop is
@@ -525,7 +539,9 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             # execution; the first pass dominates (later passes start from
             # a converged model and use few iterations), so budget a 2x
             # pass allowance rather than max_passes x.
-            est_work = float(Cp) * (Pp * Mp) * cfg.sfm_max_iters * 2.0
+            O_pad = (sum(pb * mb for pb, mb in vbuckets)
+                     if vbuckets is not None else Pp * Mp)
+            est_work = float(Cp) * O_pad * cfg.sfm_max_iters * 2.0
             runner = (run_ba_outlier_loop if est_work <= _FUSED_WORK_BUDGET
                       else run_ba_outlier_loop_chunked)
             with stage("ba"):
@@ -537,7 +553,7 @@ def run_sfm(recon: Reconstruction, scene: Scene,
                                     float(len(obs_cam)) * float(res.iters))
             pts = np.asarray(res.pts)
             removed_full = np.asarray(res.pt_removed)
-            if plan is not None:
+            if plan is not None or vbuckets is not None:
                 pts = pts[row_of]
                 removed_arr = removed_full[row_of]
             else:

@@ -614,3 +614,146 @@ def test_plan_schur_windows_falls_back_when_wide_dominates(rng):
     plan2 = ba.plan_schur_windows(narrow_cam.astype(np.int32), obs_pt, P, C,
                                   M, min_cameras=8, windows=(8, 16, 32))
     assert plan2 is not None
+
+
+# --------------------------------------------------------------------------
+# View-count-bucketed slot layout (the mixed-track-density regime where a
+# single M = max-track-length pads ~80% dead slots; sba's CRS stores exactly
+# the real observations, lib/sba-1.5/sba_levmar.c:1191-1324)
+# --------------------------------------------------------------------------
+
+
+def _mixed_track_problem(rng, C=16, P=500, noise=0.4, outlier_pts=0):
+    """Scene with explicitly mixed track lengths (60% short / 25% mid /
+    15% long) — the realistic density the single-M layout pads away."""
+    from tests.synthetic import Scene
+    sc = Scene(rng, num_cams=C, num_pts=P, noise=noise)
+    u = rng.random(P)
+    nviews = np.where(u < 0.6, rng.integers(2, 5, P),
+                      np.where(u < 0.85, rng.integers(5, 9, P),
+                               rng.integers(9, C + 1, P)))
+    obs_cam, obs_pt = [], []
+    for p in range(P):
+        for c in np.sort(rng.choice(C, nviews[p], replace=False)):
+            obs_cam.append(c)
+            obs_pt.append(p)
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    obs_xy = np.stack([sc.obs[c][p] for c, p in zip(obs_cam, obs_pt)])
+    if outlier_pts:
+        bad = rng.choice(P, outlier_pts, replace=False)
+        sel = np.isin(obs_pt, bad)
+        obs_xy[sel] += rng.uniform(60, 120, (sel.sum(), 2))
+    cam0 = np.zeros((C, CNP))
+    R0 = np.stack(sc.R[:C])
+    for i in range(C):
+        cam0[i, 0:3] = sc.centers[i] + rng.normal(size=3) * 0.01
+        cam0[i, 6] = sc.f[i]
+    pts0 = sc.points + rng.normal(size=sc.points.shape) * 0.02
+    return R0, cam0, pts0, obs_cam, obs_pt, obs_xy
+
+
+def test_plan_view_buckets_invariants(rng):
+    from bundler_sfm_tpu.ops.ba import plan_view_buckets, _quant_rows
+    P = 700
+    nviews = np.clip((rng.pareto(1.5, P) * 3 + 2).astype(int), 1, 30)
+    obs_pt = np.repeat(np.arange(P, dtype=np.int32), nviews)
+    plan = plan_view_buckets(obs_pt, P, min_total_obs=1)
+    assert plan is not None
+    row_of, buckets, n_rows = plan
+    # row_of is injective into [0, n_rows); widths ascend; counts fit.
+    assert len(np.unique(row_of)) == P
+    assert row_of.min() >= 0 and row_of.max() < n_rows
+    widths = [m for _, m in buckets]
+    assert widths == sorted(widths)
+    assert n_rows == sum(pb for pb, _ in buckets)
+    pt_lo = np.cumsum([0] + [pb for pb, _ in buckets])
+    counts = np.bincount(obs_pt, minlength=P)
+    for k, (pb, mb) in enumerate(buckets):
+        sel = (row_of >= pt_lo[k]) & (row_of < pt_lo[k + 1])
+        assert counts[sel].max() <= mb
+        # quantized row counts come from the 1.5-step grid
+        assert pb == _quant_rows(int(sel.sum()))
+    # Bucketed slots beat the single layout by the required factor.
+    single = _quant_rows(P) * (1 << int(np.ceil(np.log2(counts.max()))))
+    assert single > 1.3 * sum(pb * mb for pb, mb in buckets)
+    # Uniform track lengths: not worth it -> None.
+    obs_u = np.repeat(np.arange(P, dtype=np.int32), 8)
+    assert plan_view_buckets(obs_u, P, min_total_obs=1) is None
+
+
+def test_ba_view_buckets_match_single(rng):
+    """run_ba over the bucketed layout reproduces the single-M result."""
+    from bundler_sfm_tpu.ops.ba import plan_view_buckets
+    R0, cam0, pts0, obs_cam, obs_pt, obs_xy = _mixed_track_problem(rng)
+    P = len(pts0)
+    prob1 = build_problem(R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
+                          est_distortion=False)
+    res1 = run_ba(prob1, max_iters=30)
+    row_of, buckets, n_rows = plan_view_buckets(obs_pt, P, min_total_obs=1)
+    assert len(buckets) > 1
+    pts_r = np.zeros((n_rows, 3))
+    pts_r[row_of] = pts0
+    prob2 = build_problem(R0, cam0, pts_r, obs_cam,
+                          row_of[obs_pt].astype(np.int32), obs_xy,
+                          est_distortion=False, view_buckets=buckets)
+    res2 = run_ba(prob2, max_iters=30)
+    # Summation order differs across layouts (f64 rounding), so the LM may
+    # terminate an iteration or two apart — compare the converged model.
+    np.testing.assert_allclose(float(res1.cost), float(res2.cost),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(res1.cam), np.asarray(res2.cam),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res1.pts)[:P],
+                               np.asarray(res2.pts)[row_of],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ba_outlier_loop_view_buckets_match(rng):
+    """The fused outlier loop under the bucketed layout removes the same
+    points, produces the same stats, and converges to the same model."""
+    from bundler_sfm_tpu.ops.ba import (
+        build_cam_obs_table, plan_view_buckets, run_ba_outlier_loop,
+    )
+    R0, cam0, pts0, obs_cam, obs_pt, obs_xy = _mixed_track_problem(
+        rng, outlier_pts=10)
+    C, P = len(cam0), len(pts0)
+    kw = dict(max_iters=30, min_outliers=2, min_points=8, max_passes=4)
+    prob1 = build_problem(R0, cam0, pts0, obs_cam, obs_pt, obs_xy,
+                          est_distortion=False)
+    co1, cm1 = build_cam_obs_table(obs_cam, obs_pt, C)
+    res1 = run_ba_outlier_loop(prob1, jnp.asarray(co1), jnp.asarray(cm1),
+                               **kw)
+    row_of, buckets, n_rows = plan_view_buckets(obs_pt, P, min_total_obs=1)
+    pts_r = np.zeros((n_rows, 3))
+    pts_r[row_of] = pts0
+    op2 = row_of[obs_pt].astype(np.int32)
+    prob2 = build_problem(R0, cam0, pts_r, obs_cam, op2, obs_xy,
+                          est_distortion=False, view_buckets=buckets)
+    co2, cm2 = build_cam_obs_table(obs_cam, op2, C, view_buckets=buckets)
+    res2 = run_ba_outlier_loop(prob2, jnp.asarray(co2), jnp.asarray(cm2),
+                               **kw)
+    assert int(res1.passes) == int(res2.passes)
+    np.testing.assert_array_equal(np.asarray(res1.n_outliers),
+                                  np.asarray(res2.n_outliers))
+    r1 = np.asarray(res1.pt_removed)[:P]
+    np.testing.assert_array_equal(r1, np.asarray(res2.pt_removed)[row_of])
+    np.testing.assert_allclose(np.asarray(res1.stats),
+                               np.asarray(res2.stats), rtol=1e-6, atol=1e-6)
+    keep = ~r1
+    np.testing.assert_allclose(np.asarray(res1.pts)[:P][keep],
+                               np.asarray(res2.pts)[row_of][keep],
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_build_problem_bucketed_rejects_schur_win(rng):
+    from bundler_sfm_tpu.ops.ba import build_problem as bp
+    R0 = np.stack([np.eye(3)] * 2)
+    cam0 = np.zeros((2, CNP)); cam0[:, 6] = 700.0
+    pts0 = np.zeros((4, 3))
+    oc = np.array([0, 1, 0, 1], np.int32)
+    op = np.array([0, 0, 1, 1], np.int32)
+    oxy = np.zeros((4, 2))
+    with pytest.raises(ValueError):
+        bp(R0, cam0, pts0, oc, op, oxy, view_buckets=((4, 4),),
+           schur_win=np.zeros(1, np.int32))
