@@ -1665,13 +1665,17 @@ def _pass_stats_core(prob: BAProblem, cam_obs, cam_obs_mask, cam, pts, R,
     p = prob._replace(obs_valid=ov)
     pred, _ = _predict_obs(cam, pts, R, p, window, group_pts)
     d = jnp.linalg.norm(pred - prob.obs_xy, axis=1)       # [O]
-    if axis is None:
-        d_all, ov_all = d, ov
-    else:
-        d_all = jax.lax.all_gather(d, axis).reshape(-1)
-        ov_all = jax.lax.all_gather(ov, axis).reshape(-1)
-    dc = d_all[cam_obs]                                    # [C,S]
-    vm = cam_obs_mask & ov_all[cam_obs]
+    # With `axis` set, cam_obs indexes the SHARD-LOCAL slot layout: each
+    # device gathers its own [C, S_local] distance/validity tables and ONE
+    # tiled all_gather along the slot axis assembles [C, D·S_local] —
+    # instead of all_gathering the full [D·O_pad] distance array every pass
+    # and gathering from it through a replicated global table (O(total obs)
+    # per-device memory on the path meant for the largest problems).
+    dc = d[cam_obs]                                        # [C,S_local]
+    vm = cam_obs_mask & ov[cam_obs]
+    if axis is not None:
+        dc = jax.lax.all_gather(dc, axis, axis=1, tiled=True)
+        vm = jax.lax.all_gather(vm, axis, axis=1, tiled=True)
     dmask = jnp.where(vm, dc, big)
     dsort = jnp.sort(dmask, axis=1)
     n = jnp.sum(vm, axis=1)                                # [C]

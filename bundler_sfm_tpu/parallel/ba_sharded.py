@@ -40,7 +40,44 @@ AXIS = "shard"
 # BAProblem leaves that are sharded over points/observations (leading axis).
 _SHARDED_FIELDS = ("pts0", "pt_constrained", "pt_constraints",
                    "obs_cam", "obs_pt", "obs_xy", "obs_valid",
-                   "views_obs", "views_mask")
+                   "views_obs", "views_mask", "schur_win")
+
+
+def plan_shard_windows(row_of, schur_win, window: int, group_pts: int,
+                       n_rows: int, num_shards: int):
+    """Partition a `plan_schur_windows` plan across shards: point-groups go
+    round-robin over shards (group g -> shard g mod D at local group
+    g div D), the wide-span tail round-robin after the groups.  Returns
+    (shard_of_pt [P], local_idx [P], schur_win_local [D, nwin_s],
+    rows_per_shard) — feed the first three to shard_problem and the
+    mapping to build_cam_obs_table_sharded/unshard_with_map.
+
+    This is how the covisibility-windowed Schur assembly (the
+    sba CRS-vmask analogue, lib/sba-1.5/sba.h:70-78) reaches the
+    distributed BA path: each shard owns whole groups, so its local
+    windowed assembly is exactly the single-device one over its groups and
+    the psum reduces the window blocks."""
+    D = num_shards
+    nwin = len(schur_win)
+    nwin_s = -(-nwin // D)
+    G = group_pts
+    wide = n_rows - nwin * G
+    wide_s = -(-wide // D) if wide else 0
+    rows_per_shard = nwin_s * G + wide_s
+
+    r = np.asarray(row_of, np.int64)
+    grouped = r < nwin * G
+    g = r // G
+    shard_of_pt = np.where(grouped, g % D, (r - nwin * G) % D).astype(
+        np.int32)
+    local_idx = np.where(
+        grouped, (g // D) * G + r % G,
+        nwin_s * G + (r - nwin * G) // D).astype(np.int64)
+    sw = np.zeros((D, nwin_s), np.int32)
+    for s in range(D):
+        starts = schur_win[s::D]
+        sw[s, :len(starts)] = starts
+    return shard_of_pt, local_idx, sw, rows_per_shard
 
 
 def shard_problem(
@@ -51,19 +88,27 @@ def shard_problem(
     pad_cams: Optional[int] = None,
     max_views: Optional[int] = None, pad_obs_per_shard: Optional[int] = None,
     pad_pts_per_shard: Optional[int] = None, dtype=np.float64,
+    shard_of_pt: Optional[np.ndarray] = None,
+    local_idx: Optional[np.ndarray] = None,
+    schur_win_local: Optional[np.ndarray] = None,
 ) -> BAProblem:
-    """Partition points round-robin into shards; each shard carries its
-    points' observations.  Returns a BAProblem whose sharded leaves have a
-    leading [num_shards] axis (cameras replicated, no leading axis)."""
+    """Partition points into shards; each shard carries its points'
+    observations.  Default assignment is round-robin; pass
+    shard_of_pt/local_idx (e.g. from plan_shard_windows) for an explicit
+    layout, plus schur_win_local [D, nwin_s] to activate the windowed
+    Schur assembly per shard.  Returns a BAProblem whose sharded leaves
+    have a leading [num_shards] axis (cameras replicated, no leading
+    axis)."""
     P_total = len(pts0)
     obs_cam = np.asarray(obs_cam)
     obs_pt = np.asarray(obs_pt)
     obs_xy = np.asarray(obs_xy)
     pts0 = np.asarray(pts0)
-    shard_of_pt = np.arange(P_total) % num_shards
-    local_idx = np.arange(P_total) // num_shards
+    if shard_of_pt is None:
+        shard_of_pt = np.arange(P_total) % num_shards
+        local_idx = np.arange(P_total) // num_shards
 
-    pts_per = int(np.ceil(P_total / num_shards)) if P_total else 1
+    pts_per = (int(local_idx.max()) + 1) if P_total else 1
     pts_pad = pad_pts_per_shard or pts_per
     if max_views is None:
         # All shards must share one M for the stacked slot layout.
@@ -78,19 +123,28 @@ def shard_problem(
     for s in range(num_shards):
         sel = shard_of_pt[obs_pt] == s
         p_sel = shard_of_pt == s
+        # Scatter the shard's points to their local rows (the explicit
+        # layout may leave group-padding holes; round-robin fills 0..n-1).
+        pts_l = np.zeros((pts_pad, 3))
+        pts_l[local_idx[p_sel]] = pts0[p_sel]
+        pc_l = pt_con_l = None
+        if pt_constrained is not None:
+            pc_l = np.zeros(pts_pad)
+            pc_l[local_idx[p_sel]] = np.asarray(pt_constrained)[p_sel]
+            pt_con_l = np.zeros((pts_pad, 3))
+            pt_con_l[local_idx[p_sel]] = np.asarray(pt_constraints)[p_sel]
         subs.append(build_problem(
-            R0, cam0, pts0[p_sel],
+            R0, cam0, pts_l,
             obs_cam[sel], local_idx[obs_pt[sel]], obs_xy[sel],
             est_focal=est_focal, est_distortion=est_distortion,
             cam_constrained=cam_constrained, cam_constraints=cam_constraints,
             cam_weights=cw,
-            pt_constrained=(np.asarray(pt_constrained)[p_sel]
-                            if pt_constrained is not None else None),
-            pt_constraints=(np.asarray(pt_constraints)[p_sel]
-                            if pt_constraints is not None else None),
+            pt_constrained=pc_l, pt_constraints=pt_con_l,
             pt_weight=pt_weight,
             pad_cams=pad_cams,
             pad_pts=pts_pad, max_views=max_views,
+            schur_win=(schur_win_local[s]
+                       if schur_win_local is not None else None),
             dtype=dtype))
 
     def stack_field(name):
@@ -120,18 +174,26 @@ def _local_problem(p: BAProblem) -> BAProblem:
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "max_iters", "fix_points",
-                                    "solver", "cg_iters"))
+                                    "solver", "cg_iters", "window",
+                                    "group_pts"))
 def run_ba_sharded(prob: BAProblem, mesh: Mesh, max_iters: int = 100,
                    fix_points: bool = False, tau: float = 1e-3,
                    eps1: float = 1e-10, eps2: float = 1e-12,
                    solver: str = "cholesky",
-                   cg_iters: int = 100) -> BAResult:
+                   cg_iters: int = 100, window: int = 0,
+                   group_pts: int = 0) -> BAResult:
     """LM with point-sharded Schur assembly.  `prob` from shard_problem.
 
     solver="cholesky" psums the dense S_off and factorizes it replicated
     (right for ≤ a few hundred cameras); solver="cg" never materializes
     S_off — matrix-free distributed PCG whose per-product communication is
-    one [C,9] psum, the at-scale configuration (thousands of cameras)."""
+    one [C,9] psum, the at-scale configuration (thousands of cameras).
+
+    window/group_pts (with a plan_shard_windows-sharded problem) activate
+    the covisibility-windowed Schur assembly per shard — each shard owns
+    whole point-groups, so every one-hot expansion/reduction and the Schur
+    contraction shrink from [*, C] to [*, window] locally before the
+    psum."""
     in_specs = BAProblem(**{f: _spec_for(f) for f in BAProblem._fields})
     out_specs = BAResult(cam=P(), R=P(), pts=P(AXIS), cost=P(),
                          initial_cost=P(), iters=P(), mu=P())
@@ -140,7 +202,7 @@ def run_ba_sharded(prob: BAProblem, mesh: Mesh, max_iters: int = 100,
         local = _local_problem(p)
         cam, pts, cost, cost0, iters, mu, _ = _ba._lm_loop(
             local, max_iters, fix_points, tau, eps1, eps2, "l2", 25.0,
-            solver, axis=AXIS)
+            solver, axis=AXIS, window=window, group_pts=group_pts)
         R = jax.vmap(rot_update)(local.R0, cam[:, 3:6])
         return BAResult(cam=cam.at[:, 3:6].set(0.0), R=R, pts=pts[None],
                         cost=cost, initial_cost=cost0, iters=iters, mu=mu)
@@ -152,7 +214,7 @@ def run_ba_sharded(prob: BAProblem, mesh: Mesh, max_iters: int = 100,
 
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "max_iters", "fix_points", "loss", "solver", "max_passes",
-    "remove_outliers"))
+    "remove_outliers", "window", "group_pts"))
 def run_ba_outlier_loop_sharded(
     prob: BAProblem, cam_obs: jnp.ndarray, cam_obs_mask: jnp.ndarray,
     mesh: Mesh, max_iters: int = 150, fix_points: bool = False,
@@ -161,14 +223,19 @@ def run_ba_outlier_loop_sharded(
     outlier_factor: float = 2.4, min_thresh: float = 8.0,
     max_thresh: float = 16.0, min_outliers: int = 40, min_points: int = 8,
     max_passes: int = 8, remove_outliers: bool = True,
+    window: int = 0, group_pts: int = 0,
 ) -> BAOutlierResult:
     """The fused RunSFM outlier loop over a point-sharded mesh — the
-    production multi-chip BA path.  `prob` from shard_problem; `cam_obs`
-    must index the all-gathered observation layout (global obs id =
-    shard·O_pad + local index, see ops/ba.py build_cam_obs_table_sharded).
-    """
+    production multi-chip BA path.  `prob` from shard_problem; `cam_obs`/
+    `cam_obs_mask` are the SHARDED per-device [D, C, S_local] tables from
+    build_cam_obs_table_sharded — each device gathers its local distances
+    and one tiled all_gather per stats pass assembles the per-camera rows
+    (no full-observation all_gather, no replicated global table).
+
+    window/group_pts (with a plan_shard_windows layout) run the
+    covisibility-windowed Schur assembly per shard."""
     in_specs = (BAProblem(**{f: _spec_for(f) for f in BAProblem._fields}),
-                P(), P())
+                P(AXIS), P(AXIS))
     out_specs = BAOutlierResult(
         cam=P(), R=P(), pts=P(AXIS), obs_valid=P(AXIS), pt_removed=P(AXIS),
         passes=P(), iters=P(), n_outliers=P(), stats=P(), hist=P(),
@@ -178,10 +245,10 @@ def run_ba_outlier_loop_sharded(
     def solve(p, co, com):
         local = _local_problem(p)
         res = _ba._outlier_loop_core(
-            local, co, com, max_iters, fix_points, tau, eps1, eps2, loss,
-            huber_param, solver, outlier_factor, min_thresh, max_thresh,
-            min_outliers, min_points, max_passes, remove_outliers,
-            axis=AXIS)
+            local, co[0], com[0], max_iters, fix_points, tau, eps1, eps2,
+            loss, huber_param, solver, outlier_factor, min_thresh,
+            max_thresh, min_outliers, min_points, max_passes,
+            remove_outliers, axis=AXIS, window=window, group_pts=group_pts)
         return res._replace(pts=res.pts[None], obs_valid=res.obs_valid[None],
                             pt_removed=res.pt_removed[None])
 
@@ -198,29 +265,46 @@ def build_cam_obs_table_sharded(obs_cam: np.ndarray, obs_pt: np.ndarray,
                                 num_cams: int,
                                 pad_pts_per_shard: int,
                                 max_views: int,
-                                pad_slots: Optional[int] = None
+                                pad_slots: Optional[int] = None,
+                                shard_of_pt: Optional[np.ndarray] = None,
+                                local_idx: Optional[np.ndarray] = None,
                                 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-camera obs table over the ALL-GATHERED slot layout the sharded
-    outlier loop sees: observation o of point p (owned by shard s = p mod D
-    at local point row l = p div D, k-th view of its point) has global id
-    s·(Pp·M) + l·M + k — matching shard_problem's per-shard build_problem
-    slot layout concatenated over shards."""
+    """Per-shard, shard-LOCAL per-camera obs tables [D, C, S_local] + masks:
+    row ids are each shard's own slot layout (l·M + within), so the sharded
+    stats pass gathers locally and all_gathers only the [C, S_local]
+    per-camera rows — not the full distance array.  Pass the same
+    shard_of_pt/local_idx used for shard_problem (default round-robin)."""
     obs_cam = np.asarray(obs_cam)
     obs_pt = np.asarray(obs_pt, dtype=np.int64)
-    shard_of = obs_pt % num_shards
-    local_pt = obs_pt // num_shards
+    if shard_of_pt is None:
+        shard_of = obs_pt % num_shards
+        local_pt = obs_pt // num_shards
+    else:
+        shard_of = np.asarray(shard_of_pt)[obs_pt]
+        local_pt = np.asarray(local_idx)[obs_pt]
     within = _ba._slot_within(obs_pt)
-    gids = (shard_of * (pad_pts_per_shard * max_views)
-            + local_pt * max_views + within)
-    counts = np.bincount(obs_cam, minlength=num_cams)
-    S = pad_slots or max(1, int(counts.max()))
-    table = np.zeros((num_cams, S), dtype=np.int32)
-    mask = np.zeros((num_cams, S), dtype=bool)
-    order = np.argsort(obs_cam, kind="stable")
-    slot = np.concatenate([np.arange(c) for c in counts]) \
-        if len(obs_cam) else np.zeros(0, np.int64)
-    table[obs_cam[order], slot] = gids[order]
-    mask[obs_cam[order], slot] = True
+    lids = local_pt * max_views + within
+    if pad_slots is None:
+        S = 1
+        for s in range(num_shards):
+            cnt = np.bincount(obs_cam[shard_of == s], minlength=num_cams)
+            S = max(S, int(cnt.max()) if cnt.size else 1)
+    else:
+        S = pad_slots
+    table = np.zeros((num_shards, num_cams, S), dtype=np.int32)
+    mask = np.zeros((num_shards, num_cams, S), dtype=bool)
+    for s in range(num_shards):
+        sel = shard_of == s
+        oc, li = obs_cam[sel], lids[sel]
+        counts = np.bincount(oc, minlength=num_cams)
+        if counts.size and counts.max() > S:
+            raise ValueError(f"shard {s}: camera has {counts.max()} obs "
+                             f"> pad_slots={S}")
+        order = np.argsort(oc, kind="stable")
+        slot = np.concatenate([np.arange(c) for c in counts]) \
+            if len(oc) else np.zeros(0, np.int64)
+        table[s, oc[order], slot] = li[order]
+        mask[s, oc[order], slot] = True
     return table, mask
 
 
@@ -244,3 +328,10 @@ def unshard_flat(x_sharded: jnp.ndarray, n: int) -> np.ndarray:
         idx = np.arange(s, n, D)
         out[idx] = arr[s, :len(idx)]
     return out
+
+
+def unshard_with_map(x_sharded, shard_of_pt, local_idx) -> np.ndarray:
+    """[D, Np, ...] shards under an explicit (shard, local-row) point map
+    (plan_shard_windows) -> [P, ...] in input point order."""
+    arr = np.asarray(x_sharded)
+    return arr[np.asarray(shard_of_pt), np.asarray(local_idx)]

@@ -123,29 +123,40 @@ def pick_initial_pair(scene: Scene, use_init_focal_only: bool
     MATCH_THRESHOLD, MIN_SCORE, MIN_MATCHES = 32, 1.0e-1, 80
     best = (-1, -1, 0, 0.0)      # i, j, matches, score
     best2 = (-1, -1, 0, 0.0)
-    track_sets = [set(vp) for vp in scene.visible_points]
+    # Pairwise shared-track counts as ONE sparse incidence self-product
+    # (V[i, t] = 1 iff track t visible in image i): the per-pair
+    # set-intersection loop was O(N^2 * tracks-per-image) on the host —
+    # 17.4 s of the 256-image race (round-4 stage map).
+    from scipy import sparse
+    eligible = np.ones(n, bool)
     for i in range(n):
         if scene.ignore_in_bundle[i]:
-            continue
-        if use_init_focal_only and cfg.use_focal_estimate \
+            eligible[i] = False
+        elif use_init_focal_only and cfg.use_focal_estimate \
                 and not scene.has_init_focal(i):
-            continue
-        for j in range(i + 1, n):
-            if scene.ignore_in_bundle[j]:
-                continue
-            if use_init_focal_only and cfg.use_focal_estimate \
-                    and not scene.has_init_focal(j):
-                continue
-            num_matches = len(track_sets[i] & track_sets[j])
-            if num_matches <= MATCH_THRESHOLD:
-                continue
-            ti = scene.transforms.get((i, j))
-            ratio = ti.inlier_ratio if ti else 0.0
-            score = MIN_SCORE if ratio == 0.0 else 1.0 / ratio
-            if num_matches > best[2] and score > SCORE_THRESHOLD:
-                best = (i, j, num_matches, score)
-            if num_matches > MIN_MATCHES and score > best2[3]:
-                best2 = (i, j, num_matches, score)
+            eligible[i] = False
+    rows = np.concatenate([
+        np.full(len(scene.visible_points[i]), i, np.int64)
+        for i in range(n)]) if n else np.zeros(0, np.int64)
+    cols = np.concatenate([
+        np.asarray(scene.visible_points[i], np.int64)
+        for i in range(n)]) if n else np.zeros(0, np.int64)
+    T = int(cols.max()) + 1 if len(cols) else 1
+    V = sparse.csr_matrix(
+        (np.ones(len(rows), np.int32), (rows, cols)), shape=(n, T))
+    counts = (V @ V.T).toarray()
+    counts[~eligible] = 0
+    counts[:, ~eligible] = 0
+    ii, jj = np.nonzero(np.triu(counts, 1) > MATCH_THRESHOLD)
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        num_matches = int(counts[i, j])
+        ti = scene.transforms.get((i, j))
+        ratio = ti.inlier_ratio if ti else 0.0
+        score = MIN_SCORE if ratio == 0.0 else 1.0 / ratio
+        if num_matches > best[2] and score > SCORE_THRESHOLD:
+            best = (i, j, num_matches, score)
+        if num_matches > MIN_MATCHES and score > best2[3]:
+            best2 = (i, j, num_matches, score)
     if best[0] != -1:
         return best[0], best[1]
     if best2[0] != -1:
@@ -442,17 +453,34 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             # Production multi-chip path: points/observations sharded over
             # the mesh, cameras replicated — same fused loop under
             # shard_map (SURVEY.md §2.4 distributed-BA row).
+            from bundler_sfm_tpu.ops.ba import plan_schur_windows
             from bundler_sfm_tpu.parallel.ba_sharded import (
                 _SHARDED_FIELDS, build_cam_obs_table_sharded,
-                run_ba_outlier_loop_sharded, shard_problem, unshard_flat,
-                unshard_points,
+                plan_shard_windows, run_ba_outlier_loop_sharded,
+                shard_problem, unshard_flat, unshard_points,
+                unshard_with_map,
             )
             from bundler_sfm_tpu.parallel.mesh import (
                 fetch, globalize, make_mesh,
             )
             from jax.sharding import PartitionSpec as PS
             mesh = make_mesh(D)
-            Pp_s = _bucket(-(-len(live) // D), 64)
+            # Covisibility windows on the distributed path: whole point-
+            # groups go to shards (plan_shard_windows), so each shard runs
+            # the windowed assembly locally and the psum reduces window
+            # blocks — without this, photo-tourism-scale multi-chip rounds
+            # pay full-C one-hot expansion traffic per iteration.
+            planS = plan_schur_windows(obs_cam, obs_pt, len(live), Cp, Mp)
+            if planS is not None:
+                row_ofS, schur_winS, win_wS, win_gS, n_rowsS = planS
+                shard_of, local_of, sw_local, rows_s = plan_shard_windows(
+                    row_ofS, schur_winS, win_wS, win_gS, n_rowsS, D)
+                Pp_s = _bucket(rows_s, 64)
+                get_telemetry().add("ba_schur_windowed", 1.0)
+            else:
+                shard_of = local_of = sw_local = None
+                win_wS, win_gS = 0, 0
+                Pp_s = _bucket(-(-len(live) // D), 64)
             probS = shard_problem(
                 R0, cam0, pts0, obs_cam, obs_pt, obs_xy, D,
                 est_focal=not cfg.fixed_focal_length,
@@ -460,9 +488,18 @@ def run_sfm(recon: Reconstruction, scene: Scene,
                 cam_constrained=cc, cam_constraints=ct, cam_weights=cw,
                 pt_constrained=pc_arr, pt_constraints=pc_con, pt_weight=pw,
                 pad_cams=Cp, max_views=Mp,
-                pad_pts_per_shard=Pp_s, dtype=_dt(cfg))
+                pad_pts_per_shard=Pp_s, dtype=_dt(cfg),
+                shard_of_pt=shard_of, local_idx=local_of,
+                schur_win_local=sw_local)
+            # Shard-local per-camera stat tables, bucketed for shape reuse.
+            sh_obs = (shard_of[obs_pt] if shard_of is not None
+                      else obs_pt % D)
+            Sp_s = _bucket(int(np.bincount(
+                sh_obs.astype(np.int64) * Cp + obs_cam,
+                minlength=D * Cp).max()), 256)
             cam_obs, cam_obs_mask = build_cam_obs_table_sharded(
-                obs_cam, obs_pt, D, Cp, Pp_s, Mp, Sp)
+                obs_cam, obs_pt, D, Cp, Pp_s, Mp, Sp_s,
+                shard_of_pt=shard_of, local_idx=local_of)
             # Multi-process meshes need globally-laid-out inputs (every
             # process holds the same host copy and contributes its
             # addressable shards); single-process this is a plain transfer.
@@ -474,14 +511,20 @@ def run_sfm(recon: Reconstruction, scene: Scene,
             with stage("ba"):
                 counter("dispatches")
                 res = run_ba_outlier_loop_sharded(
-                    probS, globalize(cam_obs, mesh, PS()),
-                    globalize(cam_obs_mask, mesh, PS()),
-                    mesh, **ba_kw)
+                    probS, globalize(cam_obs, mesh, PS("shard")),
+                    globalize(cam_obs_mask, mesh, PS("shard")),
+                    mesh, window=win_wS, group_pts=win_gS, **ba_kw)
                 get_telemetry().add("ba_observations",
                                     float(len(obs_cam)) * float(res.iters))
-            pts = unshard_points(fetch(res.pts, mesh), len(live))
-            removed_arr = unshard_flat(fetch(res.pt_removed, mesh),
-                                       len(live))
+            if shard_of is not None:
+                pts = unshard_with_map(fetch(res.pts, mesh), shard_of,
+                                       local_of)
+                removed_arr = unshard_with_map(fetch(res.pt_removed, mesh),
+                                               shard_of, local_of)
+            else:
+                pts = unshard_points(fetch(res.pts, mesh), len(live))
+                removed_arr = unshard_flat(fetch(res.pt_removed, mesh),
+                                           len(live))
         else:
             # Covisibility-windowed Schur assembly at high camera counts:
             # the full-C block contraction is (Cp·9)²·3·P FLOPs per LM

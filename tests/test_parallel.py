@@ -268,3 +268,125 @@ def test_ring_match_pairs_production_entry(rng):
     assert set(got.keys()) == set(want.keys())
     for k in want:
         np.testing.assert_array_equal(got[k], want[k])
+
+
+def _linear_visibility_inputs(rng, C=16, Pn=600, span=8):
+    """Narrow-span scene: point p sees a contiguous <=span camera window —
+    the covisibility structure plan_schur_windows exploits."""
+    sc = Scene(rng, num_cams=C, num_pts=Pn, noise=0.3)
+    cam0 = np.zeros((C, CNP))
+    R0 = np.stack(sc.R[:C])
+    for i in range(C):
+        cam0[i, 0:3] = sc.centers[i] + rng.normal(size=3) * 0.01
+        cam0[i, 6] = sc.f[i]
+    obs_cam, obs_pt = [], []
+    half = span // 2
+    for p in range(Pn):
+        # Spans aligned to half-window steps so the planner keeps every
+        # point narrow (plan_schur_windows' w_idx quantization).
+        lo = half * int(rng.integers(0, (C - span) // half + 1))
+        n = int(rng.integers(3, span + 1))
+        for c in lo + rng.permutation(span)[:n]:
+            obs_cam.append(c)
+            obs_pt.append(p)
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    order = np.argsort(obs_pt, kind="stable")
+    obs_cam, obs_pt = obs_cam[order], obs_pt[order]
+    obs_xy = np.stack([sc.obs[c][p] for c, p in zip(obs_cam, obs_pt)])
+    pts0 = sc.points + rng.normal(size=sc.points.shape) * 0.02
+    return R0, cam0, pts0, obs_cam, obs_pt, obs_xy
+
+
+def test_sharded_windowed_ba_matches_single_device(rng):
+    """Covisibility-windowed Schur on the DISTRIBUTED path: whole point-
+    groups per shard (plan_shard_windows), shard-local windowed assembly,
+    psum — same solution as the single-device windowed run and the plain
+    full-C run."""
+    from bundler_sfm_tpu.ops.ba import plan_schur_windows
+    from bundler_sfm_tpu.parallel.ba_sharded import (
+        plan_shard_windows, unshard_with_map,
+    )
+    mesh = make_mesh()
+    R0, cam0, pts0, oc, op, oxy = _linear_visibility_inputs(rng)
+    C, Pn = len(cam0), len(pts0)
+    M = int(np.bincount(op).max())
+    plan = plan_schur_windows(oc, op, Pn, C, M, min_cameras=8, windows=(8,))
+    assert plan is not None
+    row_of, schur_win, W, G, n_rows = plan
+
+    # Plain full-C reference.
+    prob1 = build_problem(R0, cam0, pts0, oc, op, oxy, est_distortion=False)
+    res1 = run_ba(prob1, max_iters=25)
+
+    shard_of, local_of, sw_local, rows_s = plan_shard_windows(
+        row_of, schur_win, W, G, n_rows, 8)
+    probN = shard_problem(R0, cam0, pts0, oc, op, oxy, num_shards=8,
+                          est_distortion=False, max_views=M,
+                          pad_pts_per_shard=rows_s,
+                          shard_of_pt=shard_of, local_idx=local_of,
+                          schur_win_local=sw_local)
+    assert probN.schur_win is not None
+    resN = run_ba_sharded(probN, mesh, max_iters=25, window=W, group_pts=G)
+    assert float(resN.cost) <= float(res1.cost) * (1 + 1e-6)
+    np.testing.assert_allclose(np.asarray(resN.cam)[:C],
+                               np.asarray(res1.cam)[:C],
+                               rtol=1e-4, atol=1e-5)
+    ptsN = unshard_with_map(np.asarray(resN.pts), shard_of, local_of)
+    np.testing.assert_allclose(ptsN, np.asarray(res1.pts)[:Pn],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_windowed_outlier_loop_matches_single_device(rng):
+    """The fused outlier loop with windows active on the 8-device mesh:
+    same removals/stats as the single-device loop (and the sharded stats
+    pass uses only shard-local tables — no global obs all_gather)."""
+    from bundler_sfm_tpu.ops.ba import (
+        build_cam_obs_table, plan_schur_windows, run_ba_outlier_loop,
+    )
+    from bundler_sfm_tpu.parallel.ba_sharded import (
+        build_cam_obs_table_sharded, plan_shard_windows,
+        run_ba_outlier_loop_sharded, unshard_with_map,
+    )
+    mesh = make_mesh()
+    R0, cam0, pts0, oc, op, oxy = _linear_visibility_inputs(rng, Pn=500)
+    C, Pn = len(cam0), len(pts0)
+    bad_pts = rng.choice(Pn, 8, replace=False)
+    sel = np.isin(op, bad_pts)
+    oxy[sel] += rng.uniform(60, 120, (sel.sum(), 2))
+    M = int(np.bincount(op).max())
+    kw = dict(max_iters=40, min_outliers=2, max_passes=4)
+
+    prob1 = build_problem(R0, cam0, pts0, oc, op, oxy, est_distortion=False)
+    co1, cm1 = build_cam_obs_table(oc, op, C)
+    res1 = run_ba_outlier_loop(prob1, jnp.asarray(co1), jnp.asarray(cm1),
+                               **kw)
+
+    plan = plan_schur_windows(oc, op, Pn, C, M, min_cameras=8, windows=(8,))
+    assert plan is not None
+    row_of, schur_win, W, G, n_rows = plan
+    shard_of, local_of, sw_local, rows_s = plan_shard_windows(
+        row_of, schur_win, W, G, n_rows, 8)
+    probN = shard_problem(R0, cam0, pts0, oc, op, oxy, num_shards=8,
+                          est_distortion=False, max_views=M,
+                          pad_pts_per_shard=rows_s,
+                          shard_of_pt=shard_of, local_idx=local_of,
+                          schur_win_local=sw_local)
+    coN, cmN = build_cam_obs_table_sharded(
+        oc, op, 8, C, rows_s, M, shard_of_pt=shard_of, local_idx=local_of)
+    resN = run_ba_outlier_loop_sharded(
+        probN, jnp.asarray(coN), jnp.asarray(cmN), mesh,
+        window=W, group_pts=G, **kw)
+
+    rem1 = np.asarray(res1.pt_removed)[:Pn]
+    remN = unshard_with_map(np.asarray(resN.pt_removed), shard_of, local_of)
+    np.testing.assert_array_equal(rem1, remN)
+    assert rem1[bad_pts].all()
+    assert int(resN.passes) == int(res1.passes)
+    s1 = np.asarray(res1.stats)[0, :C]
+    sN = np.asarray(resN.stats)[0, :C]
+    np.testing.assert_array_equal(s1[:, 0], sN[:, 0])
+    np.testing.assert_allclose(s1[:, 1:], sN[:, 1:], rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(resN.cam)[:C],
+                               np.asarray(res1.cam)[:C],
+                               rtol=1e-4, atol=1e-5)

@@ -463,3 +463,54 @@ def test_run_sfm_windowed_planner_bookkeeping(rng):
     for p in live_a:
         np.testing.assert_allclose(recon_a.points[p], recon_b.points[p],
                                    rtol=1e-2, atol=1e-3)
+
+
+def test_pick_initial_pair_matches_bruteforce(rng):
+    """The sparse-matmul shared-track scoring reproduces the reference rule
+    (BundlePickInitialPair, src/Bundle.cpp:1578-1701) bit-for-bit against a
+    direct set-intersection evaluation, including tie order."""
+    from bundler_sfm_tpu.pipeline.verify import compute_geometric_constraints
+    from bundler_sfm_tpu.pipeline.incremental import pick_initial_pair
+    scene, syn = make_pipeline_scene(rng, num_cams=7, num_pts=260)
+    compute_geometric_constraints(scene, seed=11)
+
+    def brute(scene, use_init_focal_only):
+        cfg = scene.config
+        n = scene.num_images
+        SCORE_THRESHOLD = 2.0
+        MATCH_THRESHOLD, MIN_SCORE, MIN_MATCHES = 32, 1.0e-1, 80
+        best = (-1, -1, 0, 0.0)
+        best2 = (-1, -1, 0, 0.0)
+        track_sets = [set(vp) for vp in scene.visible_points]
+        for i in range(n):
+            if scene.ignore_in_bundle[i]:
+                continue
+            if use_init_focal_only and cfg.use_focal_estimate \
+                    and not scene.has_init_focal(i):
+                continue
+            for j in range(i + 1, n):
+                if scene.ignore_in_bundle[j]:
+                    continue
+                if use_init_focal_only and cfg.use_focal_estimate \
+                        and not scene.has_init_focal(j):
+                    continue
+                nm = len(track_sets[i] & track_sets[j])
+                if nm <= MATCH_THRESHOLD:
+                    continue
+                ti = scene.transforms.get((i, j))
+                ratio = ti.inlier_ratio if ti else 0.0
+                score = MIN_SCORE if ratio == 0.0 else 1.0 / ratio
+                if nm > best[2] and score > SCORE_THRESHOLD:
+                    best = (i, j, nm, score)
+                if nm > MIN_MATCHES and score > best2[3]:
+                    best2 = (i, j, nm, score)
+        if best[0] != -1:
+            return best[0], best[1]
+        if best2[0] != -1:
+            return best2[0], best2[1]
+        return (0, 1)
+    assert pick_initial_pair(scene, True) == brute(scene, True)
+    assert pick_initial_pair(scene, False) == brute(scene, False)
+    # An ignored image must be excluded.
+    scene.ignore_in_bundle[brute(scene, False)[0]] = True
+    assert pick_initial_pair(scene, False) == brute(scene, False)
