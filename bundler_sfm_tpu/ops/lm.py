@@ -78,6 +78,13 @@ def _refine_core(
     inv_s = jnp.array([1, 1, 1, 1, 1, 1, 1 / F_SCALE, 1 / K_SCALE,
                        1 / K_SCALE], dtype=dtype)
 
+    # Convergence thresholds must be reachable in the working dtype: the
+    # fixed 1e-12/1e-14 bounds below them are unreachable in f32, so every
+    # f32 refine burned all `max_iters` latency-bound while iterations
+    # (probe_refine.py).  The relative-cost criterion is scale-free:
+    # stop once an ACCEPTED step improves the cost by less than ~100 ulp.
+    tiny = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
     def body(state):
         cam, mu, nu, cost, it, done = state
         J = jax.jacfwd(residuals)(cam) * (pmask * inv_s)[None, :]
@@ -99,7 +106,9 @@ def _refine_core(
                        mu * nu)
         nu = jnp.where(accept, 2.0, nu * 2.0)
         gnorm = jnp.max(jnp.abs(g))
-        done = (gnorm < 1e-12) | (jnp.linalg.norm(delta) < 1e-14) | (mu > 1e30)
+        converged = accept & ((cost - new_cost) <= 1e2 * tiny * cost)
+        done = converged | (gnorm < 1e-12) \
+            | (jnp.linalg.norm(delta) < 1e-14) | (mu > 1e30)
         return cam, mu, nu, cost_next, it + 1, done
 
     def cond(state):

@@ -267,6 +267,32 @@ def _match_one_masked(qdesc, dbdesc, qcount, dbcount, ratio_sq, block):
     return jnp.where(keep, i0, -1).astype(jnp.int16)
 
 
+@jax.jit
+def _pack12(m):
+    """Bit-pack masked int16 rows to 12 bits/entry: [B, K] -> [B, K/2, 3]
+    uint8 (value = idx+1, 0 = no match).  25% fewer wire bytes than raw
+    int16 on the serialized ~21 MB/s device->host fetch link that bounds
+    matcher e2e (probe_fetch.py); exact for K <= 4094."""
+    v = (m.astype(jnp.int32) + 1).astype(jnp.uint16)
+    v0 = v[:, 0::2]
+    v1 = v[:, 1::2]
+    b0 = (v0 & 0xFF).astype(jnp.uint8)
+    b1 = ((v0 >> 8) | ((v1 & 0xF) << 4)).astype(jnp.uint8)
+    b2 = (v1 >> 4).astype(jnp.uint8)
+    return jnp.stack([b0, b1, b2], axis=-1)
+
+
+def _unpack12(p: np.ndarray, K: int) -> np.ndarray:
+    """Host inverse of _pack12: uint8 [B, K/2, 3] -> int32 [B, K]."""
+    b0 = p[..., 0].astype(np.uint16)
+    b1 = p[..., 1].astype(np.uint16)
+    b2 = p[..., 2].astype(np.uint16)
+    out = np.empty((p.shape[0], K), np.int32)
+    out[:, 0::2] = b0 | ((b1 & 0xF) << 8)
+    out[:, 1::2] = (b1 >> 4) | (b2 << 4)
+    return out - 1
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def _match_pairs_from_table_masked(table, counts, pi, pj, ratio_sq, block):
     """Batched masked-row matcher against an HBM-resident table (the
@@ -405,6 +431,10 @@ class DescriptorTable:
         # transfer of the compacted [max_out, 2] format.  Falls back to the
         # compact int32 format for huge key counts.
         masked = K <= 32767
+        # 12-bit wire packing on top of the masked rows (3 bytes per 2
+        # queries instead of 4) — the fetch link, not the kernel, bounds
+        # matcher e2e through the tunnel.
+        packed = masked and K % 2 == 0 and K <= 4094
         if not masked:
             max_out = min(max_out, K)
         if self.mesh is not None:
@@ -428,6 +458,8 @@ class DescriptorTable:
                     m = _match_pairs_from_table_masked(
                         self.table, self.counts, pi, pj,
                         jnp.float32(ratio * ratio), self.block)
+                if packed:
+                    m = _pack12(m)
                 results.append((chunk[:n_real], m, None))
             elif self.mesh is not None:
                 m, cnt = _match_pairs_from_table_compact_sharded(
@@ -460,6 +492,8 @@ class DescriptorTable:
         for chunk, m, cnt in results:
             m = np.asarray(m)
             if cnt is None:
+                if packed:
+                    m = _unpack12(m, K)
                 # ONE vectorized nonzero over the whole batch (a per-pair
                 # Python loop of nonzeros costs ~0.1 ms × B on the host).
                 rows, cols = np.nonzero(m >= 0)

@@ -29,7 +29,8 @@ AXIS = "shard"
 @functools.partial(jax.jit, static_argnames=("mesh", "block", "max_out",
                                               "out_dtype", "num_rots"))
 def _ring_match_all_pairs(table, counts, ratio_sq, mesh: Mesh, block: int,
-                          max_out: int, out_dtype, num_rots: int):
+                          max_out: int, out_dtype, num_rots: int,
+                          lane_want=None):
     """All-pairs matching over a DEVICE-RESIDENT image-sharded descriptor
     table with a ppermute ring (SURVEY.md §5's multi-host all-pairs
     prescription — the ring-attention communication pattern applied to
@@ -54,15 +55,16 @@ def _ring_match_all_pairs(table, counts, ratio_sq, mesh: Mesh, block: int,
     axis = mesh.axis_names[0]
     perm = [(i, (i - 1) % D) for i in range(D)]
 
-    def local(tab, cnt):
+    def local(tab, cnt, want_l):
         tab = tab[0]
         cnt = cnt[0]
+        want_l = None if want_l is None else want_l[0]  # [R, I, I] bool
         I = tab.shape[0]
         me = jax.lax.axis_index(axis)
         qi_flat = jnp.arange(I * I, dtype=jnp.int32) // I
         di_flat = jnp.arange(I * I, dtype=jnp.int32) % I
 
-        def match_block(db_tab, db_cnt, src):
+        def match_block(db_tab, db_cnt, src, r):
             gq = me.astype(jnp.int32) * I + qi_flat
             gd = src.astype(jnp.int32) * I + di_flat
 
@@ -71,15 +73,21 @@ def _ring_match_all_pairs(table, counts, ratio_sq, mesh: Mesh, block: int,
                                           db_cnt[di], ratio_sq, block,
                                           max_out, out_dtype)
             m, c = jax.vmap(one)(qi_flat, di_flat)
-            # Only i < j lanes are real; mask the rest with -1.
+            # Only i < j lanes are real; mask the rest with -1.  With a
+            # requested-pair lane mask, not-requested lanes are dropped
+            # here too, so the host decode touches requested pairs only.
             want = (gq < gd) & (cnt[qi_flat] > 0) & (db_cnt[di_flat] > 0)
+            if want_l is not None:
+                wr = jax.lax.dynamic_slice(
+                    want_l, (r, jnp.int32(0), jnp.int32(0)), (1, I, I))
+                want = want & wr.reshape(I * I)
             c = jnp.where(want, c, -1)
             return (m.reshape(I, I, max_out, 2), c.reshape(I, I))
 
         def step(r, carry):
             db_tab, db_cnt, outs, cnts = carry
             src = (me + r) % D
-            m, c = match_block(db_tab, db_cnt, src)
+            m, c = match_block(db_tab, db_cnt, src, r)
             zi = jnp.int32(0)
             outs = jax.lax.dynamic_update_slice(
                 outs, m[None], (r, zi, zi, zi, zi))
@@ -95,9 +103,10 @@ def _ring_match_all_pairs(table, counts, ratio_sq, mesh: Mesh, block: int,
             (tab, cnt, outs0, cnts0))
         return outs[None], cnts[None]
 
-    fn = shard_map(local, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(AXIS), P(AXIS), P(AXIS)),
                    out_specs=(P(AXIS), P(AXIS)), check_vma=False)
-    return fn(table, counts)
+    return fn(table, counts, lane_want)
 
 
 class ShardedDescriptorTable:
@@ -129,31 +138,35 @@ class ShardedDescriptorTable:
         self.counts = globalize(counts, mesh, P(AXIS))
 
     def match_all_pairs(self, ratio: float = 0.6, min_matches: int = 16,
-                        max_out: int = 2048, num_rots: int = None
+                        max_out: int = 2048, num_rots: int = None,
+                        lane_want: np.ndarray = None
                         ) -> Dict[Tuple[int, int], np.ndarray]:
         D = self.mesh.devices.size
         num_rots = D if num_rots is None else max(1, min(num_rots, D))
         max_out = min(max_out, self.table.shape[2])
         out_dtype = jnp.int16 if self.table.shape[2] <= 32767 else jnp.int32
-        from bundler_sfm_tpu.parallel.mesh import fetch
+        from bundler_sfm_tpu.parallel.mesh import fetch, globalize
+        lw = None if lane_want is None else \
+            globalize(np.asarray(lane_want, bool), self.mesh, P(AXIS))
         m, c = _ring_match_all_pairs(
             self.table, self.counts, jnp.float32(ratio * ratio), self.mesh,
-            self.block, max_out, out_dtype, num_rots)
+            self.block, max_out, out_dtype, num_rots, lw)
         m = fetch(m, self.mesh)
         c = fetch(c, self.mesh)
         D, R, I = c.shape[:3]
+        # Vectorized decode: one argwhere over the count grid, then one
+        # slice per SURVIVING pair — the former O(D·R·I·I) Python loop with
+        # per-lane int() conversions was the host tail at >=1024 images.
         out: Dict[Tuple[int, int], np.ndarray] = {}
-        for d in range(D):
-            for r in range(R):
-                src = (d + r) % D
-                for qi in range(I):
-                    for di in range(I):
-                        n = int(c[d, r, qi, di])
-                        if n < min_matches:
-                            continue
-                        gi = d * I + qi
-                        gj = src * I + di
-                        out[(gi, gj)] = m[d, r, qi, di, :n].astype(np.int32)
+        hits = np.argwhere(c >= min_matches)
+        if len(hits):
+            dd, rr, qq, ii = hits.T
+            gi = dd * I + qq
+            gj = ((dd + rr) % D) * I + ii
+            ns = c[dd, rr, qq, ii]
+            for k in range(len(hits)):
+                out[(int(gi[k]), int(gj[k]))] = \
+                    m[dd[k], rr[k], qq[k], ii[k], :ns[k]].astype(np.int32)
         return out
 
     def match_pairs(self, pairs: Sequence[Tuple[int, int]],
@@ -183,8 +196,16 @@ class ShardedDescriptorTable:
         I = self.images_per_shard
         num_rots = 1 + max(((b // I) - (a // I)) % D for (a, b) in pairs) \
             if pairs else 1
+        # Requested-pair lane mask: not-requested lanes are masked on
+        # device (c = -1) inside the banded rotations, so the decode
+        # touches exactly the requested pairs.
+        pa = np.array([a for a, _ in pairs], np.int64)
+        pb = np.array([b for _, b in pairs], np.int64)
+        lane_want = np.zeros((D, num_rots, I, I), bool)
+        lane_want[pa // I, (pb // I - pa // I) % D, pa % I, pb % I] = True
         allp = self.match_all_pairs(ratio=ratio, min_matches=1,
-                                    max_out=max_out, num_rots=num_rots)
+                                    max_out=max_out, num_rots=num_rots,
+                                    lane_want=lane_want)
         empty = np.zeros((0, 2), np.int32)
         out: Dict[Tuple[int, int], np.ndarray] = {}
         for (a, b) in pairs:

@@ -897,8 +897,12 @@ def bundle_initialize_images(recon: Reconstruction, scene: Scene,
         return []
 
     B = len(cands)
-    Bp = _bucket(B, 4)   # power-of-2: candidate count varies every round
-    pad = _bucket(max(len(c["pts3"]) for c in cands), 64)
+    # Shape variety is the real cost of this stage on the remote backend:
+    # each distinct (Bp, pad) resection/refine shape pays a per-process
+    # program load (~1-3 s) that dwarfs the 37 ms kernel (probe_refine.py).
+    # Wide minimums collapse the variety to ~1-2 shapes per run.
+    Bp = _bucket(B, 16)  # min 16 lanes: candidate count varies every round
+    pad = _bucket(max(len(c["pts3"]) for c in cands), 512)
     Xp = np.zeros((Bp, pad, 3), dt)
     xp = np.zeros((Bp, pad, 2), dt)
     nv = np.zeros(Bp, np.int32)

@@ -123,3 +123,17 @@ def test_pallas_int8_interpret_matches():
                         interpret=True)
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pack12_roundtrip(rng):
+    """12-bit wire packing is exact for every masked-row value (-1..K-1)."""
+    import jax.numpy as jnp
+    from bundler_sfm_tpu.ops.matching import _pack12, _unpack12
+    K = 2048
+    m = rng.integers(-1, K, (5, K)).astype(np.int16)
+    m[0, :] = -1
+    m[1, :] = K - 1
+    p = np.asarray(_pack12(jnp.asarray(m)))
+    assert p.shape == (5, K // 2, 3) and p.dtype == np.uint8
+    out = _unpack12(p, K)
+    np.testing.assert_array_equal(out, m.astype(np.int32))
