@@ -163,6 +163,63 @@ def main():
             )(q, db, bsq)
         return two_nn
 
+    # --- epilogue ablations (NOT valid matchers — they bound the ceiling) --
+    # The oneblock kernel is VPU-pass-bound: the [TQ, Nd] epilogue runs ~7
+    # full-tile passes (m, max, eq, min-index, col-eq, masked max) against
+    # one ~0.17 us MXU matmul per tile.  These ablations measure the cost
+    # of each epilogue piece to document the measured ceiling.
+    def ablation_kernel(mode):
+        def kern(q_ref, db_ref, bsq_ref, d0_ref, i0_ref, d1_ref):
+            tq = q_ref.shape[0]
+            q = q_ref[:]
+            dots = jax.lax.dot_general(
+                q, db_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            row = pl.program_id(0)
+            if mode == "matmul_max":        # matmul + ONE max reduction
+                d0_ref[row, :] = jnp.max(dots, axis=1)
+                i0_ref[row, :] = jnp.zeros((tq,), jnp.int32)
+                d1_ref[row, :] = jnp.zeros((tq,), jnp.float32)
+                return
+            m = dots - 0.5 * bsq_ref[0, :][None, :]
+            col = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+            m0 = jnp.max(m, axis=1)
+            i0l = jnp.min(jnp.where(m == m0[:, None], col,
+                                    jnp.int32(2 ** 30)), axis=1)
+            if mode == "top1":              # full top-1, no second max
+                qi = q.astype(jnp.int32)
+                qsq = jnp.sum(qi * qi, axis=1).astype(jnp.float32)
+                d0_ref[row, :] = qsq - 2.0 * m0
+                i0_ref[row, :] = i0l
+                d1_ref[row, :] = jnp.zeros((tq,), jnp.float32)
+                return
+        return kern
+
+    def make_ablation(tq, mode):
+        def two_nn(q, db, bsq):
+            nq = q.shape[0]
+            return pl.pallas_call(
+                ablation_kernel(mode),
+                grid=(nq // tq,),
+                in_specs=[
+                    pl.BlockSpec((tq, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(db.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, db.shape[0]), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=tuple(
+                    pl.BlockSpec((nq // tq, tq), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM) for _ in range(3)),
+                out_shape=(
+                    jax.ShapeDtypeStruct((nq // tq, tq), jnp.float32),
+                    jax.ShapeDtypeStruct((nq // tq, tq), jnp.int32),
+                    jax.ShapeDtypeStruct((nq // tq, tq), jnp.float32),
+                ),
+            )(q, db, bsq)
+        return two_nn
+
     def batched(two_nn_fn):
         @jax.jit
         def run(table, counts, pi, pj):
@@ -194,6 +251,8 @@ def main():
         ("oneblock_i8_512", batched(make_oneblock(512, True))),
         ("oneblock_i8_1024", batched(make_oneblock(1024, True))),
         ("bf16", batched(make_bf16_resident())),
+        ("ABL_matmul_max", batched(make_ablation(128, "matmul_max"))),
+        ("ABL_top1", batched(make_ablation(128, "top1"))),
     ]
 
     pi_np = np.array([i for i, _ in pairs], np.int32)

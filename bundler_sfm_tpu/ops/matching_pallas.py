@@ -24,6 +24,17 @@ reconstructed as q_sq − 2m once per query at the end.  All quantities are
 half-integers below 2²³ for uint8 descriptors, so results stay
 BIT-IDENTICAL to the XLA path (including tie-breaking: ties resolve to
 the lowest index in both).
+
+MEASURED CEILING (round-5 ablations, probe_pallas_variants.py at 2208
+pairs × 2048² int8 keys on one v5e): full exact top-2 35.0 TFLOP/s
+(8.9% int8 MFU); dropping the second max 38.5; matmul + a SINGLE max
+reduction (no valid outputs) 47.4 TFLOP/s = 12.0%.  Any epilogue that
+materializes the [TQ, Nd] f32 score tile is bounded by that 12% — the
+VPU streaming of the tile, not the top-2 logic, is the wall — so the
+exact kernel sits within 26% of its structural ceiling.  Going past 12%
+needs score-tile reduction fused into the MXU accumulation, which
+Pallas/Mosaic cannot express today; the ANN-vs-MXU win over the
+reference (~10³×) does not hinge on it.
 """
 
 from __future__ import annotations
