@@ -231,10 +231,32 @@ def _quant_rows(n: int, lo: int = 256) -> int:
         g *= 2
 
 
+def _fit_prev_buckets(counts, prev):
+    """Try assigning current per-point view counts into a previous round's
+    bucket structure (same first-bucket-with-width>=count interval rule).
+    Returns (row_of, total_slots) or None on any overflow."""
+    widths = np.array([mb for _, mb in prev], np.int64)
+    if int(counts.max()) > widths[-1]:
+        return None
+    bucket_of = np.searchsorted(widths, counts, side="left")
+    sizes = np.bincount(bucket_of, minlength=len(prev))
+    if np.any(sizes > np.array([pb for pb, _ in prev])):
+        return None
+    n = len(counts)
+    pt_lo = np.cumsum([0] + [pb for pb, _ in prev])
+    order = np.argsort(bucket_of, kind="stable")
+    off = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    row_of = np.empty(n, np.int64)
+    row_of[order] = pt_lo[bucket_of[order]] + (np.arange(n)
+                                               - off[bucket_of[order]])
+    return row_of.astype(np.int32), sum(pb * mb for pb, mb in prev)
+
+
 def plan_view_buckets(obs_pt, num_points: int,
                       max_buckets: int = 4,
                       min_total_obs: int = 1 << 15,
-                      win_factor: float = 1.3):
+                      win_factor: float = 1.3,
+                      prev: Optional[Tuple[Tuple[int, int], ...]] = None):
     """Host-side plan for the view-count-bucketed slot layout.
 
     The single-M slot layout pads every point to the longest track
@@ -259,6 +281,25 @@ def plan_view_buckets(obs_pt, num_points: int,
     Mmax = int(counts.max())
     if Mmax <= 4:
         return None
+
+    # STICKY plans: an incremental run re-enters BA every registration
+    # round with slightly more points; a fresh quantization each round
+    # makes every round a DISTINCT static shape, and on the remote backend
+    # each shape pays a per-process program load that dwarfs the kernel
+    # (round-5 from-pixels: 17 bucket shapes ≈ +60 s).  If the previous
+    # round's bucket structure still fits (same interval assignment, no
+    # bucket overflow, padding waste below ~1.6× of a fresh plan), reuse
+    # it verbatim — the compiled program is reused too.
+    if prev is not None:
+        fit = _fit_prev_buckets(counts, prev)
+        if fit is not None:
+            row_of, slots_prev = fit
+            fresh = plan_view_buckets(obs_pt, num_points, max_buckets,
+                                      min_total_obs, win_factor, prev=None)
+            fresh_slots = (sum(pb * mb for pb, mb in fresh[1])
+                           if fresh is not None else slots_prev)
+            if slots_prev <= 1.6 * fresh_slots:
+                return row_of, prev, sum(pb for pb, _ in prev)
     widths = [4]
     while widths[-1] < Mmax:
         widths.append(widths[-1] * 2)
@@ -266,6 +307,13 @@ def plan_view_buckets(obs_pt, num_points: int,
     # Points per width bin (width w holds counts in (prev_w, w]).
     nbin = [int(np.sum((counts > (0 if i == 0 else widths[i - 1]))
                        & (counts <= w))) for i, w in enumerate(widths)]
+
+    # Growth headroom: pad each bucket for ~20% more points than it holds
+    # now, so an incremental run's next rounds keep fitting the SAME plan
+    # (sticky reuse above) instead of re-planning — and recompiling —
+    # every round.
+    def qrows(n):
+        return _quant_rows(int(n * 1.2) + 1)
 
     def cost(subset):
         # subset: ascending widths ending at Mtop; cost = padded slots.
@@ -276,7 +324,7 @@ def plan_view_buckets(obs_pt, num_points: int,
             n = sum(nbin[lo_i:hi_i])
             lo_i = hi_i
             if n:
-                total += _quant_rows(n) * w
+                total += qrows(n) * w
         return total
 
     import itertools
@@ -307,7 +355,7 @@ def plan_view_buckets(obs_pt, num_points: int,
         if n == 0:
             continue
         bucket_of[sel] = len(buckets)
-        buckets.append((_quant_rows(n), int(w)))
+        buckets.append((qrows(n), int(w)))
     # Stable order by bucket: row_of[p] = bucket-ordered padded row.
     order = np.argsort(bucket_of, kind="stable")
     pt_lo = np.cumsum([0] + [b[0] for b in buckets])

@@ -543,9 +543,16 @@ def run_sfm(recon: Reconstruction, scene: Scene,
                 schur_win, win_w, win_g, n_rows = None, 0, 0, len(live)
                 # View-count-bucketed slot layout at mixed track density
                 # (exclusive with the window plan — both reorder points).
-                vb = plan_view_buckets(obs_pt, len(live))
+                # The plan is STICKY across registration rounds (cached on
+                # the reconstruction) so consecutive rounds reuse one
+                # compiled BA shape instead of paying a per-round
+                # program load through the remote backend.
+                vb = plan_view_buckets(
+                    obs_pt, len(live),
+                    prev=getattr(recon, "_vb_cache", None))
                 if vb is not None:
                     row_of, vbuckets, n_rows = vb
+                    recon._vb_cache = vbuckets
                     get_telemetry().add("ba_view_bucketed", 1.0)
                 else:
                     row_of = None

@@ -672,8 +672,10 @@ def test_plan_view_buckets_invariants(rng):
     for k, (pb, mb) in enumerate(buckets):
         sel = (row_of >= pt_lo[k]) & (row_of < pt_lo[k + 1])
         assert counts[sel].max() <= mb
-        # quantized row counts come from the 1.5-step grid
-        assert pb == _quant_rows(int(sel.sum()))
+        # quantized row counts come from the 1.5-step grid with ~20%
+        # growth headroom (sticky-plan reuse across registration rounds)
+        assert pb == _quant_rows(int(sel.sum() * 1.2) + 1)
+        assert pb >= sel.sum()
     # Bucketed slots beat the single layout by the required factor.
     single = _quant_rows(P) * (1 << int(np.ceil(np.log2(counts.max()))))
     assert single > 1.3 * sum(pb * mb for pb, mb in buckets)
@@ -757,3 +759,29 @@ def test_build_problem_bucketed_rejects_schur_win(rng):
     with pytest.raises(ValueError):
         bp(R0, cam0, pts0, oc, op, oxy, view_buckets=((4, 4),),
            schur_win=np.zeros(1, np.int32))
+
+
+def test_plan_view_buckets_sticky_reuse(rng):
+    """An incremental round with a few more points must REUSE the previous
+    bucket structure (same static shape, no recompile); a much larger
+    problem must re-plan."""
+    from bundler_sfm_tpu.ops.ba import plan_view_buckets
+    P = 900
+    nviews = np.clip((rng.pareto(1.5, P) * 3 + 2).astype(int), 1, 30)
+    obs_pt = np.repeat(np.arange(P, dtype=np.int32), nviews)
+    row_of, buckets, n_rows = plan_view_buckets(obs_pt, P, min_total_obs=1)
+    # +5% points with the same distribution: fits the headroom -> same plan.
+    P2 = int(P * 1.05)
+    nv2 = np.concatenate([nviews, nviews[:P2 - P]])
+    op2 = np.repeat(np.arange(P2, dtype=np.int32), nv2)
+    plan2 = plan_view_buckets(op2, P2, min_total_obs=1, prev=buckets)
+    assert plan2 is not None and plan2[1] == buckets
+    # row_of still a valid injection with in-bucket widths respected.
+    r2 = plan2[0]
+    assert len(np.unique(r2)) == P2
+    # 4x the points: overflow -> fresh plan with larger buckets.
+    P3 = 4 * P
+    nv3 = np.tile(nviews, 4)
+    op3 = np.repeat(np.arange(P3, dtype=np.int32), nv3)
+    plan3 = plan_view_buckets(op3, P3, min_total_obs=1, prev=buckets)
+    assert plan3 is not None and plan3[1] != buckets
