@@ -904,12 +904,14 @@ def bundle_initialize_images(recon: Reconstruction, scene: Scene,
         return []
 
     B = len(cands)
-    # Shape variety is the real cost of this stage on the remote backend:
-    # each distinct (Bp, pad) resection/refine shape pays a per-process
-    # program load (~1-3 s) that dwarfs the 37 ms kernel (probe_refine.py).
-    # Wide minimums collapse the variety to ~1-2 shapes per run.
-    Bp = _bucket(B, 16)  # min 16 lanes: candidate count varies every round
-    pad = _bucket(max(len(c["pts3"]) for c in cands), 512)
+    # Power-of-2 shape buckets (candidate count varies every round).  NOTE
+    # round-5 tried wide minimums (lanes>=16, pad>=512) to cut shape
+    # variety; the bigger programs made remote-side reloads 4x slower and
+    # the resection stage REGRESSED 19 -> 78 s on an unlucky run — the
+    # 31-63 ms kernels (probe_register.py) are noise either way, so keep
+    # the smaller programs.
+    Bp = _bucket(B, 4)
+    pad = _bucket(max(len(c["pts3"]) for c in cands), 64)
     Xp = np.zeros((Bp, pad, 3), dt)
     xp = np.zeros((Bp, pad, 2), dt)
     nv = np.zeros(Bp, np.int32)
