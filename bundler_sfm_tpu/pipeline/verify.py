@@ -123,18 +123,29 @@ def remove_border_matches(scene: Scene) -> None:
         scene.matches[(i, j)] = m[keep]
 
 
-def _auto_batch(num_pairs: int, batch) -> int:
+def _auto_batch(num_pairs: int, batch, pad: int = 0,
+                rounds: int = 2048) -> int:
     """Pairs per dispatch.  Small collections stay on the small compiled
     shape; big pair lists jump to 128 then 256/dispatch — at 32,640 pairs
     (256 images) the 128-pair batching cost 510 verify dispatches whose
     per-call overhead (~80 ms RTT on a remote-TPU link) was over a third
-    of the bundle stage; 256/dispatch halves it and the [B,R,N] score
-    tile stays ~1.3 GB."""
+    of the bundle stage.  The batch is then CAPPED by the RANSAC score
+    tile's memory: the [B, pad, rounds, 3] epipolar-residual temporaries
+    cost ~28·B·pad·rounds bytes, and at 128-image match densities
+    (pad ≈ 1856) a 256-pair batch is a 27 GB program — past HBM
+    (measured OOM, round 5)."""
     if batch is not None:
         return batch
     if num_pairs <= 64:
         return 16
-    return 128 if num_pairs <= 4096 else 256
+    b = 128 if num_pairs <= 4096 else 256
+    if pad:
+        cap = max(16, int(5e9 / (28.0 * pad * max(rounds, 1))))
+        p = 16
+        while p * 2 <= cap:
+            p *= 2
+        b = min(b, p)
+    return b
 
 
 def compute_epipolar_geometry(scene: Scene, seed: int = 0,
@@ -152,7 +163,8 @@ def compute_epipolar_geometry(scene: Scene, seed: int = 0,
     drop = [p for p in pairs if len(scene.matches[p]) < 20]
     pad_all = _round_up(max((len(scene.matches[p]) for p in todo),
                             default=8), 64)
-    batch = _auto_batch(len(todo), batch)
+    batch = _auto_batch(len(todo), batch, pad=pad_all,
+                        rounds=cfg.fmatrix_rounds)
     base_key = jax.random.PRNGKey(seed)
     table, local = _device_key_table(scene, todo) if todo else (None, None)
     thr = jnp.asarray(cfg.fmatrix_threshold,
@@ -213,7 +225,8 @@ def compute_transforms(scene: Scene, seed: int = 1, batch: int = None
     if not todo:
         return
     pad_all = _round_up(max(len(scene.matches[p]) for p in todo), 64)
-    batch = _auto_batch(len(todo), batch)
+    batch = _auto_batch(len(todo), batch, pad=pad_all,
+                        rounds=cfg.homography_rounds)
     base_key = jax.random.PRNGKey(seed + 7777)
     table, local = _device_key_table(scene, todo)
     thr = jnp.asarray(cfg.homography_threshold, table.dtype)
