@@ -140,7 +140,7 @@ def _auto_batch(num_pairs: int, batch, pad: int = 0,
         return 16
     b = 128 if num_pairs <= 4096 else 256
     if pad:
-        cap = max(16, int(5e9 / (28.0 * pad * max(rounds, 1))))
+        cap = max(16, int(8e9 / (28.0 * pad * max(rounds, 1))))
         p = 16
         while p * 2 <= cap:
             p *= 2
