@@ -460,7 +460,17 @@ def extract_sift_batch(images, max_keys_total: int = 4096,
     and on local hardware the batch fills the VPU.  Returns a list of
     (info [n,4], desc [n,128]) in input order, matching per-image
     extract_sift up to f32 conv rounding (~1e-4 px).
+
+    On the CPU backend the batch falls back to per-image extraction: the
+    batch exists to amortize device dispatches, and XLA:CPU materializes
+    the vmapped descriptor one-hots instead of fusing them (measured a
+    ~195 GB allocation at 11 images — the TPU backend fuses these).
     """
+    import jax
+    if jax.default_backend() == "cpu":
+        return [extract_sift(np.asarray(im, np.float32), max_keys_total,
+                             upsample, contrast_thr, edge_thr)
+                for im in images]
     out = [None] * len(images)
     groups = {}
     for i, im in enumerate(images):
