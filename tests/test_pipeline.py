@@ -514,3 +514,16 @@ def test_pick_initial_pair_matches_bruteforce(rng):
     # An ignored image must be excluded.
     scene.ignore_in_bundle[brute(scene, False)[0]] = True
     assert pick_initial_pair(scene, False) == brute(scene, False)
+
+
+def test_auto_batch_memory_cap():
+    """The verify pair batch must shrink when the RANSAC score tile would
+    exceed the memory budget (128-image density OOM'd at the fixed 256),
+    and stay at the dispatch-amortizing sizes for small tiles."""
+    from bundler_sfm_tpu.pipeline.verify import _auto_batch
+    assert _auto_batch(40, None) == 16
+    assert _auto_batch(3000, None, pad=512, rounds=2048) == 128
+    assert _auto_batch(40000, None, pad=512, rounds=2048) == 256
+    big = _auto_batch(8000, None, pad=1856, rounds=2048)
+    assert big < 128 and 28.0 * big * 1856 * 2048 <= 8e9
+    assert _auto_batch(8000, 256, pad=1856, rounds=2048) == 256  # explicit
